@@ -1,0 +1,185 @@
+"""Encoding, translation, k-mer, and lookup op tests."""
+
+import numpy as np
+import pytest
+
+from umgap_tpu.index.table import KmerTable, PeptideTable
+from umgap_tpu.ops import encoding, kmers, lookup, translate
+
+
+def test_dna_roundtrip():
+    codes = encoding.encode_dna("ACGT*TCGA")
+    assert encoding.decode_dna(codes) == "ACGTNTCGA"  # '*' -> N (src/dna/mod.rs:34-44)
+
+
+def test_complement():
+    codes = encoding.encode_dna("TGCANACGT")
+    rev = encoding.DNA_COMPLEMENT[codes[::-1]]
+    assert encoding.decode_dna(rev) == "ACGTNTGCA"  # src/dna/mod.rs tests
+
+
+def test_translate_ttg():
+    t = encoding.get_table(1)
+    codes = encoding.encode_dna("TTG")
+    assert encoding.decode_aa(t.translate_frame(codes, False)) == "L"
+    assert encoding.decode_aa(t.translate_frame(codes, True)) == "M"
+
+
+def test_translate_gattacaaa():
+    t = encoding.get_table(1)
+    out = translate.translate_sequence("GATTACAAA", ["1"], t)
+    assert out == ["DYK"]
+    out = translate.translate_sequence("GATTACAAA", ["1", "1R"], t)
+    assert out == ["DYK", "FVI"]
+
+
+def test_translate_unknown_codon():
+    t = encoding.get_table(1)
+    assert translate.translate_sequence("GANTAC", ["1"], t) == ["-Y"]
+
+
+def test_tables_present():
+    present = sorted(encoding.GENETIC_CODES)
+    assert present == [1, 2, 3, 4, 5, 6, 9, 10, 11, 12, 13, 14, 15, 16, 21, 22, 23]
+    with pytest.raises(ValueError):
+        encoding.get_table(7)
+
+
+def test_translate_frames_offsets():
+    t = encoding.get_table(1)
+    # frame 2 drops one leading base; frame 3 two
+    assert translate.translate_sequence("AACGTACGT", ["1", "2", "3"], t) == [
+        "NVR", "TY", "RT"]
+
+
+def test_translate6_batch_matches_host():
+    t = encoding.get_table(1)
+    seqs = ["GATTACAAA", "ACGTACGTACGTAGGG", "AC", "CCCTTTGGGAAACCCTTTGG"]
+    L = max(len(s) for s in seqs)
+    B = len(seqs)
+    dna = np.full((B, L), encoding.DNA_N, dtype=np.uint8)
+    lens = np.zeros(B, dtype=np.int32)
+    for i, s in enumerate(seqs):
+        c = encoding.encode_dna(s)
+        dna[i, : len(c)] = c
+        lens[i] = len(c)
+    aa, plens = translate.translate6_batch(dna, lens, t)
+    aa = np.asarray(aa)
+    plens = np.asarray(plens)
+    for i, s in enumerate(seqs):
+        host = translate.translate_sequence(s, list(translate.FRAME_NAMES), t)
+        for f in range(6):
+            got = encoding.decode_aa(aa[i, f, : plens[i, f]])
+            assert got == host[f], (s, translate.FRAME_NAMES[f])
+
+
+def test_pack_kmers():
+    codes = encoding.encode_aa("DAIGDVAKAYKKAG")
+    packed = kmers.pack_kmers_host(codes, 9)
+    assert len(packed) == 6
+    assert kmers.unpack_kmer(packed[0], 9) == "DAIGDVAKA"
+    assert kmers.unpack_kmer(packed[5], 9) == "VAKAYKKAG"
+    assert len(kmers.pack_kmers_host(encoding.encode_aa("SHORT"), 9)) == 0
+
+
+def test_pack_windows_batch_matches_host():
+    import jax.numpy as jnp
+
+    peps = ["DAIGDVAKAYKKAG", "KKKKKKKKK", "SHORT"]
+    P = max(len(p) for p in peps)
+    B = len(peps)
+    aa = np.full((B, P), encoding.AA_PAD, dtype=np.uint8)
+    lens = np.zeros(B, dtype=np.int32)
+    for i, p in enumerate(peps):
+        c = encoding.encode_aa(p)
+        aa[i, : len(c)] = c
+        lens[i] = len(c)
+    hi, lo, valid = kmers.pack_windows_batch(jnp.asarray(aa), jnp.asarray(lens), 9)
+    hi, lo, valid = np.asarray(hi), np.asarray(lo), np.asarray(valid)
+    for i, p in enumerate(peps):
+        host = kmers.pack_kmers_host(encoding.encode_aa(p), 9)
+        nw = len(host)
+        assert valid[i].sum() == nw
+        got = kmers.join_packed(hi[i, :nw], lo[i, :nw]) if nw else []
+        assert list(got) == list(host)
+
+
+def test_tryptic_digest():
+    seq = ("AYKKAGVSGHVWQSDGITNCLLRGLTRVKEAVANRDSGNGYINKVYYWTVDKRATTRDALDAG"
+           "VDGIMTNYPDVITDVLN")
+    expect = ["AYK", "K", "AGVSGHVWQSDGITNCLLR", "GLTR", "VK", "EAVANR",
+              "DSGNGYINK", "VYYWTVDK", "R", "ATTR", "DALDAGVDGIMTNYPDVITDVLN"]
+    assert kmers.tryptic_digest(seq) == expect
+
+
+def test_tryptic_digest_stops():
+    assert kmers.tryptic_digest("AB*CD") == ["AB", "CD"]
+    assert kmers.tryptic_digest("") == []
+
+
+def test_kmer_table_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    n = 1000
+    packed = np.unique(rng.integers(0, 2 ** 45, size=2 * n).astype(np.uint64))[:n]
+    values = rng.integers(1, 2 ** 31 - 1, size=n).astype(np.int32)
+    t = KmerTable.build(packed, values, k=9)
+    hi, lo = kmers.split_packed(packed)
+    got, found = t.probe_host(hi, lo)
+    assert found.all()
+    assert (got == values).all()
+    # misses
+    miss = (packed + np.uint64(1)) % np.uint64(2 ** 45)
+    miss_set = set(packed.tolist())
+    hi2, lo2 = kmers.split_packed(miss)
+    got2, found2 = t.probe_host(hi2, lo2, default=0)
+    for m, f, g in zip(miss.tolist(), found2, got2):
+        if m not in miss_set:
+            assert not f and g == 0
+    # save/load
+    p = tmp_path / "t.npz"
+    t.save(p)
+    t2 = KmerTable.load(p)
+    assert t2.k == 9
+    got3, found3 = t2.probe_host(hi, lo)
+    assert (got3 == values).all()
+
+
+def test_peptide_table():
+    peps = ["AAALTER", "ENFVYLAK", "MDGTEYIIVK"]
+    vals = np.array([2, 3398, 9606], dtype=np.int32)
+    t = PeptideTable.build(peps, vals)
+    got, found = t.lookup_peptides_host(peps)
+    assert found.all() and (got == vals).all()
+    got, found = t.lookup_peptides_host(["NOTAPEPTIDE"], default=0)
+    assert not found[0] and got[0] == 0
+
+
+def test_device_probe_matches_host():
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(1)
+    n = 5000
+    packed = np.unique(rng.integers(0, 2 ** 45, size=2 * n).astype(np.uint64))[:n]
+    values = rng.integers(1, 2 ** 31 - 1, size=n).astype(np.int32)
+    t = KmerTable.build(packed, values, k=9)
+    dt = lookup.DeviceTable.from_host(t)
+    queries = np.concatenate([packed[:100], (packed[:100] + np.uint64(7))])
+    hi, lo = kmers.split_packed(queries)
+    host_vals, host_found = t.probe_host(hi, lo)
+    dev_vals, dev_found = lookup.probe(dt, jnp.asarray(hi), jnp.asarray(lo))
+    assert (np.asarray(dev_vals) == host_vals).all()
+    assert (np.asarray(dev_found) == host_found).all()
+
+
+def test_device_probe_valid_mask():
+    import jax.numpy as jnp
+
+    packed = np.array([123456789], dtype=np.uint64)
+    t = KmerTable.build(packed, np.array([42], dtype=np.int32), k=9)
+    dt = lookup.DeviceTable.from_host(t)
+    hi, lo = kmers.split_packed(np.array([123456789, 123456789], dtype=np.uint64))
+    vals, found = lookup.probe(
+        dt, jnp.asarray(hi), jnp.asarray(lo), valid=jnp.array([True, False])
+    )
+    assert np.asarray(vals).tolist() == [42, 0]
+    assert np.asarray(found).tolist() == [True, False]
