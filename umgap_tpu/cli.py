@@ -1,0 +1,701 @@
+"""The ``umgap-tpu`` command line: all 20 reference subcommands.
+
+Mirrors the reference CLI surface (/root/reference/src/main.rs:40-63)
+with the same flags, stream formats, and realized output quirks, so the
+shell pipelines of ``umgap-analyse.sh`` compose identically. Index files
+are packed ``.npz`` tables instead of FSTs.
+
+Output is written in input order (the reference's rayon chunk
+interleaving makes its order unspecified; src/commands/pept2lca.rs:63-65).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import List, Optional
+
+import numpy as np
+
+from . import ranks
+from .agg import host as agg_host
+from .io import fasta, fastq
+from .ops import encoding, kmers as kmerops, seedextend as seedmod, translate as transmod
+from .taxonomy import NONE, Taxonomy, read_taxa_file
+
+
+class CliError(Exception):
+    pass
+
+
+# ---------------------------------------------------------------------- #
+# helpers
+# ---------------------------------------------------------------------- #
+
+def _load_taxonomy(path, with_unknown: bool = False) -> Taxonomy:
+    return Taxonomy(read_taxa_file(path), with_unknown=with_unknown)
+
+
+def _load_table(path):
+    from .index.table import _BaseTable
+
+    return _BaseTable.load(path)
+
+
+def _parse_rank(name: str) -> int:
+    try:
+        r = ranks.rank_index(name)
+    except KeyError:
+        raise CliError(f"Unknown rank: {name}")
+    return r
+
+
+# ---------------------------------------------------------------------- #
+# stream commands
+# ---------------------------------------------------------------------- #
+
+def cmd_translate(args, stdin, stdout):
+    try:
+        table = encoding.get_table(int(args.table))
+    except ValueError:
+        raise CliError(f"Unknown table: {args.table}")
+    frames = list(transmod.FRAME_NAMES) if args.all_frames else args.frame
+    if args.show_table:
+        print(table.show(), file=stdout)
+        return
+    writer = fasta.Writer(stdout, "", False)
+    for rec in fasta.read_records(stdin, unwrap=True):
+        seq = rec.sequence[0] if rec.sequence else ""
+        peptides = transmod.translate_sequence(seq, frames, table, args.methionine)
+        for frame, pep in zip(frames, peptides):
+            header = rec.header + "|" + frame if args.append_name else rec.header
+            writer.write_record(fasta.Record(header, [pep]))
+
+
+def cmd_fastq2fasta(args, stdin, stdout):
+    writer = fasta.Writer(stdout, "", False)
+    handles = [open(p) for p in args.input]
+    try:
+        readers = [fastq.read_records(h) for h in handles]
+        for group in fastq.interleave(readers):
+            for rec in group:
+                writer.write_record(fasta.Record(rec.header, [rec.sequence]))
+    finally:
+        for h in handles:
+            h.close()
+
+
+def cmd_prot2kmer(args, stdin, stdout):
+    k = args.length
+    writer = fasta.Writer(stdout, "\n", False)
+    for rec in fasta.read_records(stdin, unwrap=True):
+        seq = rec.sequence[0]
+        if len(seq) < k:
+            continue
+        writer.write_record(
+            fasta.Record(rec.header, [seq[i : i + k] for i in range(len(seq) - k + 1)])
+        )
+
+
+def cmd_prot2tryp(args, stdin, stdout):
+    writer = fasta.Writer(stdout, "\n", False)
+    for rec in fasta.read_records(stdin, unwrap=True):
+        writer.write_record(
+            fasta.Record(rec.header, kmerops.tryptic_digest(rec.sequence[0], args.pattern))
+        )
+
+
+def cmd_filter(args, stdin, stdout):
+    contains = set(args.contains)
+    lacks = set(args.lacks)
+    writer = fasta.Writer(stdout, "\n", False)
+    for rec in fasta.read_records(stdin, unwrap=False):
+        kept = []
+        for seq in rec.sequence:
+            if not (args.minlen <= len(seq) <= args.maxlen):
+                continue
+            chars = set(seq)
+            if contains <= chars and not (lacks & chars):
+                kept.append(seq)
+        writer.write_record(fasta.Record(rec.header, kept))
+
+
+def cmd_uniq(args, stdin, stdout):
+    sep = args.separator.replace("\\n", "\n")
+    writer = fasta.Writer(stdout, sep, args.wrap)
+    last: Optional[fasta.Record] = None
+    for rec in fasta.read_records(stdin, unwrap=False):
+        if args.delimiter is not None:
+            idx = rec.header.find(args.delimiter)
+            if idx != -1:
+                rec.header = rec.header[:idx]
+        if last is not None and last.header == rec.header:
+            last.sequence.extend(rec.sequence)
+        else:
+            if last is not None:
+                writer.write_record(last)
+            last = rec
+    if last is not None:
+        writer.write_record(last)
+
+
+def cmd_bestof(args, stdin, stdout):
+    writer = fasta.Writer(stdout, "\n", False)
+
+    def score(rec: fasta.Record) -> int:
+        n = 0
+        for item in rec.sequence:
+            try:
+                t = int(item)
+            except ValueError:
+                t = 0
+            if t not in (0, 1):
+                n += 1
+        return n
+
+    chunk: List[fasta.Record] = []
+    for rec in fasta.read_records(stdin, unwrap=False):
+        if len(chunk) < args.frames - 1:
+            chunk.append(rec)
+        else:
+            # the frames-th record triggers processing and is dropped
+            # (reference quirk, src/commands/bestof.rs:57-76)
+            best = None
+            best_score = -1
+            for r in chunk:
+                s = score(r)
+                if s >= best_score:  # Rust max_by_key keeps the last max
+                    best, best_score = r, s
+            if best is not None:
+                writer.write_record(best)
+            chunk = []
+
+
+def cmd_seedextend(args, stdin, stdout):
+    tax = None
+    if args.ranked is not None:
+        tax = _load_taxonomy(args.ranked, with_unknown=True)
+    writer = fasta.Writer(stdout, "\n", False)
+    for rec in fasta.read_records(stdin, unwrap=False):
+        try:
+            taxa = [int(s) for s in rec.sequence]
+        except ValueError as e:
+            raise CliError(str(e))
+        kept = seedmod.apply_seedextend(
+            taxa, args.min_seed_size, args.max_gap_size, tax, args.penalty
+        )
+        writer.write_record(fasta.Record(rec.header, [str(t) for t in kept]))
+
+
+# ---------------------------------------------------------------------- #
+# lookup commands
+# ---------------------------------------------------------------------- #
+
+def _lookup_peptides(table, peptides: List[str], default_zero: bool):
+    """Look up full peptides in either table kind. Returns list of
+    Optional[int] (None = miss to be dropped)."""
+    from .index.table import KmerTable
+
+    if isinstance(table, KmerTable):
+        k = table.k
+        out = []
+        for p in peptides:
+            if len(p) != k:
+                out.append(0 if default_zero else None)
+                continue
+            packed = np.array([kmerops.pack_peptide_host(encoding.encode_aa(p))],
+                              dtype=np.uint64)
+            hi, lo = kmerops.split_packed(packed)
+            vals, found = table.probe_host(hi, lo)
+            out.append(int(vals[0]) if found[0] else (0 if default_zero else None))
+        return out
+    vals, found = table.lookup_peptides_host(peptides)
+    return [
+        int(v) if f else (0 if default_zero else None)
+        for v, f in zip(vals, found)
+    ]
+
+
+def cmd_pept2lca(args, stdin, stdout):
+    table = _load_table(args.fst_file)
+    for rec in fasta.read_records(stdin, unwrap=False):
+        res = _lookup_peptides(table, rec.sequence, args.one_on_one)
+        stdout.write(f">{rec.header}\n")
+        for r in res:
+            if r is not None:
+                stdout.write(f"{r}\n")
+
+
+def _stream_prot2kmer2lca(table, k: int, default_zero: bool, stdin, stdout):
+    from .index.table import KmerTable
+
+    if not isinstance(table, KmerTable):
+        raise CliError("prot2kmer2lca requires a k-mer index")
+    for rec in fasta.read_records(stdin, unwrap=True):
+        prot = rec.sequence[0] if rec.sequence else ""
+        if len(prot) < k:
+            continue  # header not printed (prot2kmer2lca.rs:170-172)
+        stdout.write(f">{rec.header}\n")
+        packed = kmerops.pack_kmers_host(encoding.encode_aa(prot), k)
+        hi, lo = kmerops.split_packed(packed)
+        vals, found = table.probe_host(hi, lo)
+        for v, f in zip(vals, found):
+            if f:
+                stdout.write(f"{int(v)}\n")
+            elif default_zero:
+                stdout.write("0\n")
+
+
+def cmd_prot2kmer2lca(args, stdin, stdout):
+    table = _load_table(args.fst_file)
+    k = args.length
+    if args.socket:
+        import socket as socketlib
+
+        server = socketlib.socket(socketlib.AF_UNIX, socketlib.SOCK_STREAM)
+        server.bind(args.socket)
+        server.listen()
+        print("Socket created, listening for connections.", flush=True)
+        while True:
+            conn, _ = server.accept()
+            print("Connection accepted. Processing...", flush=True)
+            try:
+                with conn.makefile("r") as rf, conn.makefile("w") as wf:
+                    _stream_prot2kmer2lca(table, k, args.one_on_one, rf, wf)
+                print("Connection finished succesfully.", flush=True)
+            except Exception as e:  # keep serving (prot2kmer2lca.rs:133-136)
+                print(f"Connection died with an error: {e}", flush=True)
+            finally:
+                conn.close()
+    else:
+        _stream_prot2kmer2lca(table, k, args.one_on_one, stdin, stdout)
+
+
+def cmd_prot2tryp2lca(args, stdin, stdout):
+    table = _load_table(args.fst_file)
+    contains = set(args.keep)
+    lacks = set(args.drop)
+    for rec in fasta.read_records(stdin, unwrap=False):
+        stdout.write(f">{rec.header}\n")
+        for seq in rec.sequence:
+            peptides = [
+                p
+                for p in kmerops.tryptic_digest(seq, args.pattern)
+                if args.minlen <= len(p) <= args.maxlen
+                and (
+                    (not contains and not lacks)
+                    or (contains <= set(p) and not (lacks & set(p)))
+                )
+            ]
+            for r in _lookup_peptides(table, peptides, args.one_on_one):
+                if r is not None:
+                    stdout.write(f"{r}\n")
+
+
+# ---------------------------------------------------------------------- #
+# taxonomy commands
+# ---------------------------------------------------------------------- #
+
+def cmd_taxa2agg(args, stdin, stdout):
+    tax = _load_taxonomy(args.taxon_file)
+    snapping = tax.snapping(args.ranked)
+    aggregator = agg_host.make_aggregator(tax, args.method, args.aggregate, args.factor)
+    if args.method == "rmq" and args.aggregate == "hybrid":
+        print("Warning: this is a hybrid between LCA/MRTL, not LCA*/MRTL",
+              file=sys.stderr)
+
+    writer = fasta.Writer(stdout, "\n", False)
+    for rec in fasta.read_records(stdin, unwrap=False):
+        pairs = []
+        for item in rec.sequence:
+            if args.scored:
+                parts = item.split("=")
+                if len(parts) != 2:
+                    raise CliError("Taxon without score")
+                pairs.append((int(parts[0]), float(parts[1])))
+            else:
+                pairs.append((int(item), 1.0))
+        counts = agg_host.count(p for p in pairs if p[0] != 0)
+        counts = agg_host.filter_counts(counts, args.lower_bound)
+        if not counts:
+            out = "1"
+        else:
+            aggregate = aggregator.aggregate(counts)
+            snapped = snapping[aggregate]
+            if snapped == NONE:
+                raise CliError(f"Unsnappable taxon: {aggregate}")
+            out = str(int(snapped))
+        writer.write_record(fasta.Record(rec.header, [out]))
+
+
+def cmd_taxa2freq(args, stdin, stdout):
+    tax = _load_taxonomy(args.taxon_file)
+    rank = _parse_rank(args.rank)
+    if rank == ranks.NO_RANK:
+        raise CliError("Snap to an actual rank.")
+    snapping = tax.rank_snapping(rank)
+
+    numfiles = len(args.input_files)
+    header = "taxon id,taxon name"
+    if numfiles == 0:
+        header += ",stdin"
+    else:
+        header += "".join("," + f for f in args.input_files)
+    stdout.write(header + "\n")
+
+    counts: dict[int, List[int]] = {}
+
+    def count_stream(stream, index: int, width: int):
+        for line in stream:
+            line = line.rstrip("\n")
+            try:
+                t = int(line)
+            except ValueError:
+                continue  # silently skipped (taxa2freq.rs:160)
+            if t < 0:
+                continue
+            snapped = int(snapping[t]) if t < tax.size and snapping[t] != NONE else 0
+            counts.setdefault(snapped, [0] * width)[index] += 1
+
+    if numfiles == 0:
+        count_stream(stdin, 0, 1)
+    else:
+        for i, path in enumerate(args.input_files):
+            with open(path) as f:
+                count_stream(f, i, numfiles)
+
+    rows = sorted(counts.items(), key=lambda p: (-sum(p[1]), p[0]))
+    for tid, row in rows:
+        taxon = tax.get(tid)
+        if taxon is None:
+            raise CliError(
+                "LCA taxon id not in taxon list. Check compatibility with index."
+            )
+        if sum(row) > args.frequency:
+            stdout.write(f"{taxon.id},{taxon.name}")
+            for c in row:
+                stdout.write(f",{c}")
+            stdout.write("\n")
+
+
+def cmd_snaptaxon(args, stdin, stdout):
+    tax = _load_taxonomy(args.taxon_file)
+    rank = _parse_rank(args.rank) if args.rank is not None else None
+    if rank == ranks.NO_RANK:
+        raise CliError("Snap to an actual rank.")
+    snapping = tax.rank_snapping(rank, taxa=args.taxons,
+                                 require_valid=not args.invalid)
+    for line in stdin:
+        line = line.rstrip("\n")
+        if line.startswith(">"):
+            stdout.write(line + "\n")
+        else:
+            try:
+                t = int(line)
+            except ValueError:
+                raise CliError(f"Invalid taxon ID: {line}")
+            if t < 0:
+                raise CliError(f"Invalid taxon ID: {line}")
+            snapped = snapping[t] if t < tax.size else NONE
+            stdout.write(f"{0 if snapped == NONE else int(snapped)}\n")
+
+
+def cmd_taxonomy(args, stdin, stdout):
+    tax = _load_taxonomy(args.taxon_file)
+    if not args.no_header:
+        stdout.write("taxon_id\ttaxon_name\ttaxon_rank")
+        if args.all:
+            for rname in ranks.NAMED_RANKS:
+                rn = rname.replace(" ", "_")
+                stdout.write(f"\t{rn}_id\t{rn}_name")
+        stdout.write("\n")
+    for line in stdin:
+        line = line.rstrip("\n")
+        if line.startswith(">"):
+            stdout.write(line + "\n")
+            continue
+        tid = int(line)
+        taxon = tax.get(tid)
+        if taxon is None:
+            raise CliError(f"Unknown Taxon ID: {tid}")
+        stdout.write(f"{taxon.id}\t{taxon.name}\t{ranks.rank_name(taxon.rank)}")
+        if args.all:
+            lineage = tax.lineage(tid)
+            for r in range(1, ranks.RANK_COUNT):
+                lt = lineage[r]
+                if lt != NONE:
+                    t2 = tax.get(int(lt))
+                    stdout.write(f"\t{t2.id}\t{t2.name}")
+                else:
+                    stdout.write("\t\t")
+        stdout.write("\n")
+
+
+def cmd_taxa2tree(args, stdin, stdout):
+    taxa: dict[int, int] = {}
+    for rec in fasta.read_records(stdin, unwrap=False):
+        t = int(rec.sequence[0])
+        taxa[t] = taxa.get(t, 0) + 1
+    import json
+    from urllib import request
+
+    payload = json.dumps(
+        {"counts": {str(k): v for k, v in taxa.items()}, "link": str(args.url).lower()}
+    ).encode()
+    req = request.Request(
+        "http://api.unipept.ugent.be/api/v1/taxa2tree",
+        data=payload,
+        headers={"Content-Type": "application/json"},
+    )
+    try:
+        with request.urlopen(req, timeout=30) as res:
+            body = res.read().decode()
+    except Exception as e:
+        raise CliError(f"taxa2tree request failed: {e}")
+    if args.url:
+        import json as jsonlib
+
+        gist = jsonlib.loads(body).get("gist", "")
+        stdout.write(
+            gist.replace("https://gist.github.com/", "https://bl.ocks.org/") + "\n"
+        )
+    else:
+        stdout.write(body)
+
+
+# ---------------------------------------------------------------------- #
+# index commands
+# ---------------------------------------------------------------------- #
+
+def cmd_splitkmers(args, stdin, stdout):
+    from .index.build import split_kmers
+
+    def rows():
+        for line in stdin:
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            parts = line.split("\t")
+            if len(parts) < 2:
+                raise CliError(f"Invalid TSV row: {line!r}")
+            yield int(parts[0]), parts[1]
+
+    for kmer, tid in split_kmers(rows(), args.length, args.prefix):
+        stdout.write(f"{kmer}\t{tid}\n")
+
+
+def cmd_joinkmers(args, stdin, stdout):
+    from .index.build import join_kmers
+
+    tax = _load_taxonomy(args.taxon_file)
+
+    def rows():
+        for line in stdin:
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            parts = line.split("\t")
+            if len(parts) < 2:
+                raise CliError(f"Invalid TSV row: {line!r}")
+            yield parts[0], int(parts[1])
+
+    for kmer, taxon, rank in join_kmers(rows(), tax):
+        stdout.write(f"{kmer}\t{taxon}\t{rank}\n")
+
+
+def cmd_buildindex(args, stdin, stdout):
+    import io as iomod
+
+    from .index.build import build_table
+
+    def rows():
+        for line in stdin:
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            parts = line.split("\t")
+            if len(parts) < 2:
+                raise CliError(f"Invalid TSV row: {line!r}")
+            yield parts[0], int(parts[1])
+
+    table = build_table(rows(), kind=args.kind)
+    buf = iomod.BytesIO()
+    table.save(buf)
+    data = buf.getvalue()
+    out = getattr(stdout, "buffer", stdout)
+    out.write(data)
+
+
+def cmd_printindex(args, stdin, stdout):
+    from .index.table import KmerTable
+
+    table = _load_table(args.fst_file)
+    if isinstance(table, KmerTable):
+        packed, values = table.items()
+        order = np.argsort(packed)
+        for p, v in zip(packed[order], values[order]):
+            stdout.write(f"{kmerops.unpack_kmer(int(p), table.k)}\t{int(v)}\n")
+    else:
+        if table.raw_keys is None:
+            raise CliError("index was built without stored keys")
+        pairs = sorted(zip(table.raw_keys, table.raw_values))
+        for key, v in pairs:
+            stdout.write(f"{key}\t{int(v)}\n")
+
+
+# ---------------------------------------------------------------------- #
+# argument parsing
+# ---------------------------------------------------------------------- #
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="umgap-tpu",
+        description="TPU-native UMGAP: metagenomics analysis pipeline tools",
+    )
+    sub = p.add_subparsers(dest="command", required=True)
+
+    sp = sub.add_parser("translate", help="Translate DNA into amino acid sequences")
+    sp.add_argument("-m", "--methionine", action="store_true")
+    sp.add_argument("-a", "--all-frames", action="store_true")
+    sp.add_argument("-f", "--frame", action="append", default=[],
+                    choices=list(transmod.FRAME_NAMES))
+    sp.add_argument("-n", "--append-name", action="store_true")
+    sp.add_argument("-t", "--table", default="1")
+    sp.add_argument("-s", "--show-table", action="store_true")
+    sp.set_defaults(func=cmd_translate)
+
+    sp = sub.add_parser("fastq2fasta", help="Interleave FASTQ files into FASTA")
+    sp.add_argument("input", nargs="+")
+    sp.set_defaults(func=cmd_fastq2fasta)
+
+    sp = sub.add_parser("prot2kmer", help="Split peptides into k-mers")
+    sp.add_argument("-k", "--length", type=int, default=9)
+    sp.set_defaults(func=cmd_prot2kmer)
+
+    sp = sub.add_parser("prot2tryp", help="Split peptides at tryptic cleavage sites")
+    sp.add_argument("-p", "--pattern", default=kmerops.TRYPTIC_PATTERN)
+    sp.set_defaults(func=cmd_prot2tryp)
+
+    sp = sub.add_parser("filter", help="Filter peptides by length and content")
+    sp.add_argument("-m", "--minlen", type=int, default=5)
+    sp.add_argument("-M", "--maxlen", type=int, default=50)
+    sp.add_argument("-c", "--contains", default="")
+    sp.add_argument("-l", "--lacks", default="")
+    sp.set_defaults(func=cmd_filter)
+
+    sp = sub.add_parser("uniq", help="Join consecutive records with equal headers")
+    sp.add_argument("-s", "--separator", default="\n")
+    sp.add_argument("-w", "--wrap", action="store_true")
+    sp.add_argument("-d", "--delimiter", default=None)
+    sp.set_defaults(func=cmd_uniq)
+
+    sp = sub.add_parser("bestof", help="Select the best frame of each group")
+    sp.add_argument("-f", "--frames", type=int, default=6)
+    sp.set_defaults(func=cmd_bestof)
+
+    sp = sub.add_parser("seedextend", help="Select promising taxon regions")
+    sp.add_argument("-s", "--min-seed-size", type=int, default=2)
+    sp.add_argument("-g", "--max-gap-size", type=int, default=0)
+    sp.add_argument("-r", "--ranked", default=None)
+    sp.add_argument("-p", "--penalty", type=int, default=5)
+    sp.set_defaults(func=cmd_seedextend)
+
+    sp = sub.add_parser("pept2lca", help="Look up peptides in an index")
+    sp.add_argument("-o", "--one-on-one", action="store_true")
+    sp.add_argument("-m", "--in-memory", action="store_true")
+    sp.add_argument("-c", "--chunksize", type=int, default=240)
+    sp.add_argument("fst_file")
+    sp.set_defaults(func=cmd_pept2lca)
+
+    sp = sub.add_parser("prot2kmer2lca", help="Look up all peptide k-mers")
+    sp.add_argument("-k", "--length", type=int, default=9)
+    sp.add_argument("-o", "--one-on-one", action="store_true")
+    sp.add_argument("-m", "--in-memory", action="store_true")
+    sp.add_argument("-c", "--chunksize", type=int, default=240)
+    sp.add_argument("-s", "--socket", default=None)
+    sp.add_argument("fst_file")
+    sp.set_defaults(func=cmd_prot2kmer2lca)
+
+    sp = sub.add_parser("prot2tryp2lca", help="Digest and look up tryptic peptides")
+    sp.add_argument("-o", "--one-on-one", action="store_true")
+    sp.add_argument("-m", "--in-memory", action="store_true")
+    sp.add_argument("-c", "--chunksize", type=int, default=240)
+    sp.add_argument("-p", "--pattern", default=kmerops.TRYPTIC_PATTERN)
+    sp.add_argument("-l", "--minlen", type=int, default=5)
+    sp.add_argument("-L", "--maxlen", type=int, default=50)
+    sp.add_argument("-k", "--keep", default="")
+    sp.add_argument("-d", "--drop", default="")
+    sp.add_argument("fst_file")
+    sp.set_defaults(func=cmd_prot2tryp2lca)
+
+    sp = sub.add_parser("taxa2agg", help="Aggregate taxon lists per read")
+    sp.add_argument("-s", "--scored", action="store_true")
+    sp.add_argument("-r", "--ranked", action="store_true")
+    sp.add_argument("-m", "--method", default="tree", choices=["tree", "rmq"])
+    sp.add_argument("-a", "--aggregate", default="hybrid",
+                    choices=["lca*", "hybrid", "mrtl"])
+    sp.add_argument("-f", "--factor", type=float, default=0.25)
+    sp.add_argument("-l", "--lower-bound", type=float, default=0)
+    sp.add_argument("taxon_file")
+    sp.set_defaults(func=cmd_taxa2agg)
+
+    sp = sub.add_parser("taxa2freq", help="Frequency table at a target rank")
+    sp.add_argument("-r", "--rank", default="species", choices=list(ranks.NAMED_RANKS))
+    sp.add_argument("-f", "--frequency", type=int, default=1)
+    sp.add_argument("taxon_file")
+    sp.add_argument("input_files", nargs="*")
+    sp.set_defaults(func=cmd_taxa2freq)
+
+    sp = sub.add_parser("taxa2tree", help="Visualize taxa via the Unipept API")
+    sp.add_argument("-u", "--url", action="store_true")
+    sp.set_defaults(func=cmd_taxa2tree)
+
+    sp = sub.add_parser("snaptaxon", help="Snap taxa to a rank or taxon set")
+    sp.add_argument("-r", "--rank", default=None, choices=list(ranks.NAMED_RANKS))
+    sp.add_argument("-t", "--taxons", type=int, action="append", default=[])
+    sp.add_argument("-i", "--invalid", action="store_true")
+    sp.add_argument("taxon_file")
+    sp.set_defaults(func=cmd_snaptaxon)
+
+    sp = sub.add_parser("taxonomy", help="Annotate taxon IDs with name and rank")
+    sp.add_argument("-a", "--all", action="store_true")
+    sp.add_argument("-H", "--no-header", action="store_true")
+    sp.add_argument("taxon_file")
+    sp.set_defaults(func=cmd_taxonomy)
+
+    sp = sub.add_parser("splitkmers", help="Split proteins into (kmer, taxid) rows")
+    sp.add_argument("-k", "--length", type=int, default=9)
+    sp.add_argument("-p", "--prefix", default="")
+    sp.set_defaults(func=cmd_splitkmers)
+
+    sp = sub.add_parser("joinkmers", help="Aggregate sorted (kmer, taxid) rows")
+    sp.add_argument("taxon_file")
+    sp.set_defaults(func=cmd_joinkmers)
+
+    sp = sub.add_parser("buildindex", help="Build a packed index from sorted TSV")
+    sp.add_argument("--kind", default="auto", choices=["auto", "kmer", "peptide"])
+    sp.set_defaults(func=cmd_buildindex)
+
+    sp = sub.add_parser("printindex", help="Print the key/value pairs in an index")
+    sp.add_argument("fst_file")
+    sp.set_defaults(func=cmd_printindex)
+
+    return p
+
+
+def main(argv=None, stdin=None, stdout=None) -> int:
+    args = build_parser().parse_args(argv)
+    stdin = stdin if stdin is not None else sys.stdin
+    stdout = stdout if stdout is not None else sys.stdout
+    try:
+        args.func(args, stdin, stdout)
+    except BrokenPipeError:
+        return 0
+    except (CliError, agg_host.AggError, ValueError, OSError) as e:
+        print(f"Error: {e}", file=sys.stderr)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -74,6 +74,8 @@ class _BaseTable:
         self.max_probes = int(max_probes)
         self.n = int(n)
         self.meta = dict(meta or {})
+        self.raw_keys = None
+        self.raw_values = None
 
     @property
     def capacity(self) -> int:
@@ -152,6 +154,12 @@ class _BaseTable:
     # -- serialization -------------------------------------------------- #
 
     def save(self, path):
+        extra = {}
+        if getattr(self, "raw_keys", None) is not None:
+            extra["raw_keys"] = np.frombuffer(
+                "\n".join(self.raw_keys).encode(), dtype=np.uint8
+            )
+            extra["raw_values"] = self.raw_values
         np.savez_compressed(
             path,
             kind=np.bytes_(self.kind),
@@ -161,6 +169,7 @@ class _BaseTable:
             max_probes=np.int64(self.max_probes),
             n=np.int64(self.n),
             **{f"meta_{k}": np.int64(v) for k, v in self.meta.items()},
+            **extra,
         )
 
     @staticmethod
@@ -171,10 +180,15 @@ class _BaseTable:
             k[len("meta_"):]: int(z[k]) for k in z.files if k.startswith("meta_")
         }
         cls = KmerTable if kind == "kmer" else PeptideTable
-        return cls(
+        t = cls(
             z["key_hi"], z["key_lo"], z["values"],
             int(z["max_probes"]), int(z["n"]), meta,
         )
+        if "raw_keys" in z.files:
+            blob = z["raw_keys"].tobytes().decode()
+            t.raw_keys = blob.split("\n") if blob else []
+            t.raw_values = z["raw_values"]
+        return t
 
 
 class KmerTable(_BaseTable):
@@ -211,14 +225,20 @@ class KmerTable(_BaseTable):
 
 
 class PeptideTable(_BaseTable):
-    """Variable-length peptide table keyed by 64-bit fingerprints."""
+    """Variable-length peptide table keyed by 64-bit fingerprints.
+
+    When ``store_keys`` (default), the original key strings are kept in
+    the artifact so ``printindex`` can stream them back
+    (the FST does this intrinsically; we store a newline-joined blob).
+    """
 
     kind = "peptide"
 
     @classmethod
     def build(cls, peptides, values: np.ndarray,
-              load_factor: float = 0.6) -> "PeptideTable":
+              load_factor: float = 0.6, store_keys: bool = True) -> "PeptideTable":
         """``peptides``: iterable of AA strings (or code arrays)."""
+        peptides = list(peptides)
         n = len(values)
         hi = np.zeros(n, dtype=np.int32)
         lo = np.zeros(n, dtype=np.int32)
@@ -227,7 +247,13 @@ class PeptideTable(_BaseTable):
             h1, h2 = fingerprint_host(codes)
             hi[i] = np.int32(h1)
             lo[i] = np.int32(h2)
-        return cls._build(hi, lo, values, load_factor)
+        t = cls._build(hi, lo, values, load_factor)
+        if store_keys:
+            t.raw_keys = [
+                p if isinstance(p, str) else encoding.decode_aa(p) for p in peptides
+            ]
+            t.raw_values = np.asarray(values, dtype=np.int32)
+        return t
 
     def lookup_peptides_host(self, peptides, default: int = 0):
         n = len(peptides)
