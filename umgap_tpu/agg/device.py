@@ -1,0 +1,238 @@
+"""Batched device aggregators (JAX, jittable).
+
+The TPU-native reformulation of the reference's per-read pointer-tree
+walks: every read in a batch carries a fixed-width list of (taxon,
+count) hits; tree relations are answered by gathers from a device-
+resident ancestor-at-depth table; subtree sums and ancestor counts are
+masked multiply-reduce contractions over a (B, K, K) ancestor-incidence
+tensor; and the hybrid descent is a depth-bounded ``fori_loop``.
+
+Covers the strategies used by all six preset pipelines
+(/root/reference/scripts/umgap-analyse.sh:276-311): MRTL (rmq::rtl),
+LCA* (tree::lca), and tree hybrid (tree::mix). Argmax ties use the
+deterministic break of :mod:`umgap_tpu.agg.host` (greater depth, then
+smaller id) so host and device agree.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..taxonomy import NONE, Taxonomy
+
+I32_MAX = np.int32(np.iinfo(np.int32).max)
+
+
+class DeviceTaxonomy(NamedTuple):
+    """Device-resident taxonomy arrays."""
+
+    depth: jax.Array      # (size,) int32, -1 for unreachable
+    anc: jax.Array        # (size, D) int32 ancestor-at-depth, -1 above
+    snap_valid: jax.Array  # (size,) int32 snapping (valid ancestors)
+    snap_ranked: jax.Array  # (size,) int32 snapping (valid+ranked)
+    root: int
+
+    @classmethod
+    def from_host(cls, tax: Taxonomy, device=None) -> "DeviceTaxonomy":
+        put = (lambda x: jax.device_put(x, device)) if device else jnp.asarray
+        return cls(
+            depth=put(tax.depth.astype(np.int32)),
+            anc=put(tax.anc_table.astype(np.int32)),
+            snap_valid=put(tax.snapping(False).astype(np.int32)),
+            snap_ranked=put(tax.snapping(True).astype(np.int32)),
+            root=int(tax.root),
+        )
+
+
+# ---------------------------------------------------------------------- #
+# Per-read hit-list preparation
+# ---------------------------------------------------------------------- #
+
+def dedup_counts(taxa: jax.Array, weights: jax.Array, k_max: int):
+    """Per-row frequency table (reference agg::count + the tid != 0 drop
+    of taxa2agg, src/commands/taxa2agg.rs:169).
+
+    Args:
+      taxa: (B, N) int32; entries <= 0 are dropped.
+      weights: (B, N) float32 per-hit weights.
+      k_max: output width (unique taxa beyond this are dropped; callers
+        should size it to the pipeline's worst case).
+
+    Returns:
+      utaxa: (B, k_max) int32 unique taxa (I32_MAX padding),
+      ucounts: (B, k_max) float32 summed weights,
+      uvalid: (B, k_max) bool.
+    """
+    B, N = taxa.shape
+    t = jnp.where(taxa > 0, taxa, I32_MAX)
+    order = jnp.argsort(t, axis=-1)
+    ts = jnp.take_along_axis(t, order, axis=-1)
+    ws = jnp.take_along_axis(jnp.where(taxa > 0, weights, 0.0), order, axis=-1)
+    prev = jnp.concatenate([jnp.full((B, 1), -1, ts.dtype), ts[:, :-1]], axis=-1)
+    new = ts != prev
+    uid = jnp.cumsum(new.astype(jnp.int32), axis=-1) - 1  # (B, N) in [0, N)
+    flat_ids = (jnp.arange(B, dtype=jnp.int32)[:, None] * N + uid).reshape(-1)
+    sums = jax.ops.segment_sum(ws.reshape(-1), flat_ids, num_segments=B * N)
+    reps = jax.ops.segment_min(ts.reshape(-1), flat_ids, num_segments=B * N)
+    sums = sums.reshape(B, N)[:, :k_max]
+    reps = reps.reshape(B, N)[:, :k_max]
+    if k_max > N:
+        pad = ((0, 0), (0, k_max - N))
+        sums = jnp.pad(sums, pad)
+        reps = jnp.pad(reps, pad, constant_values=I32_MAX)
+    uvalid = reps != I32_MAX
+    return reps.astype(jnp.int32), sums.astype(jnp.float32), uvalid
+
+
+def filter_lower_bound(ucounts, uvalid, lower_bound: float):
+    """agg::filter (src/agg/mod.rs:39-44): keep counts >= bound."""
+    return uvalid & (ucounts >= lower_bound)
+
+
+# ---------------------------------------------------------------------- #
+# Shared geometry
+# ---------------------------------------------------------------------- #
+
+class HitGeometry(NamedTuple):
+    lin: jax.Array      # (B, K, D) ancestor rows
+    depth: jax.Array    # (B, K) depths (0 where invalid)
+    is_anc: jax.Array   # (B, K, K): [b,i,j] = taxon i anc-or-self of j
+    valid: jax.Array    # (B, K)
+
+
+def hit_geometry(dtax: DeviceTaxonomy, utaxa, uvalid) -> HitGeometry:
+    size = dtax.depth.shape[0]
+    safe = jnp.where(uvalid, jnp.clip(utaxa, 0, size - 1), 0)
+    lin = dtax.anc[safe]                      # (B, K, D)
+    dep = jnp.where(uvalid, dtax.depth[safe], 0)
+    dep = jnp.maximum(dep, 0)
+    B, K, D = lin.shape
+    # anc_of_j_at_depth_of_i[b, i, j] = lin[b, j, dep[b, i]]
+    lin_e = jnp.broadcast_to(lin[:, None, :, :], (B, K, K, D))
+    idx = jnp.broadcast_to(dep[:, :, None, None], (B, K, K, 1))
+    a = jnp.take_along_axis(lin_e, idx, axis=3)[..., 0]  # (B, i, j)
+    is_anc = (a == utaxa[:, :, None]) & uvalid[:, :, None] & uvalid[:, None, :]
+    return HitGeometry(lin, dep, is_anc, uvalid)
+
+
+def _argmax_tiebreak(utaxa, depth, valid, scores):
+    """Max score, then max depth, then min taxon id (matches host)."""
+    neg = jnp.float32(-jnp.inf)
+    s = jnp.where(valid, scores, neg)
+    smax = jnp.max(s, axis=-1, keepdims=True)
+    cand = valid & (s == smax)
+    d = jnp.where(cand, depth, -1)
+    dmax = jnp.max(d, axis=-1, keepdims=True)
+    cand = cand & (d == dmax)
+    ids = jnp.where(cand, utaxa, I32_MAX)
+    return jnp.min(ids, axis=-1)
+
+
+# ---------------------------------------------------------------------- #
+# Aggregators
+# ---------------------------------------------------------------------- #
+
+def tree_lca_batch(dtax: DeviceTaxonomy, geom: HitGeometry, utaxa):
+    """LCA* (reference src/tree/lca.rs): deepest input if all inputs lie
+    on one chain, else the LCA of all inputs."""
+    B, K, D = geom.lin.shape
+    valid = geom.valid
+    # dominated j: every valid input is an ancestor-or-self of j
+    dom = jnp.all(geom.is_anc | ~valid[:, :, None], axis=1) & valid
+    any_dom = dom.any(axis=-1)
+    dom_depth = jnp.where(dom, geom.depth, -1)
+    jstar = jnp.argmax(dom_depth, axis=-1)
+    chain_result = jnp.take_along_axis(utaxa, jstar[:, None], axis=1)[:, 0]
+
+    # LCA of all: deepest depth where all valid lineages agree (!= NONE)
+    first_valid = jnp.argmax(valid, axis=-1)  # first True (0 if none)
+    ref = jnp.take_along_axis(geom.lin, first_valid[:, None, None], axis=1)[:, 0, :]
+    eq = (geom.lin == ref[:, None, :]) | ~valid[:, :, None]
+    all_eq = jnp.all(eq, axis=1) & (ref != NONE)
+    dstar = jnp.argmax(
+        jnp.where(all_eq, jnp.arange(D, dtype=jnp.int32)[None, :], -1), axis=-1
+    )
+    lca_result = jnp.take_along_axis(ref, dstar[:, None], axis=1)[:, 0]
+    return jnp.where(any_dom, chain_result, lca_result)
+
+
+def rtl_batch(dtax: DeviceTaxonomy, geom: HitGeometry, utaxa, ucounts):
+    """MRTL (reference src/rmq/rtl.rs:39-57): score of input j = summed
+    counts of inputs that are ancestors-or-self of j; argmax."""
+    c = jnp.where(geom.valid, ucounts, 0.0)
+    scores = jnp.sum(
+        jnp.where(geom.is_anc, c[:, :, None], 0.0), axis=1
+    )  # (B, K) over i
+    return _argmax_tiebreak(utaxa, geom.depth, geom.valid, scores)
+
+
+def tree_mix_batch(dtax: DeviceTaxonomy, geom: HitGeometry, utaxa, ucounts,
+                   factor: float):
+    """Tree hybrid (reference src/tree/mix.rs:42-64) as a depth-bounded
+    descent: collapse chains freely; at branching nodes descend into the
+    heaviest branch while its share of the current chain value is
+    >= factor (ties -> smallest branch id, our deterministic break)."""
+    B, K, D = geom.lin.shape
+    c = jnp.where(geom.valid, ucounts, 0.0)
+    total = jnp.sum(c, axis=-1)
+
+    def body(d, state):
+        x, a_base, done = state
+        lin_d = jax.lax.dynamic_index_in_dim(geom.lin, d, axis=2, keepdims=False)
+        lin_d1 = jax.lax.dynamic_index_in_dim(geom.lin, d + 1, axis=2, keepdims=False)
+        below = geom.valid & (geom.depth > d) & (lin_d == x[:, None])  # (B, K)
+        any_below = below.any(axis=-1)
+        branch = lin_d1  # (B, K) candidate branch per input
+        # per-input branch sums: sum over inputs j' below with same branch
+        same = (branch[:, :, None] == branch[:, None, :]) & below[:, :, None] & below[:, None, :]
+        bsum = jnp.sum(jnp.where(same, c[:, :, None], 0.0), axis=1)  # (B, K)
+        bsum = jnp.where(below, bsum, -jnp.inf)
+        maxsum = jnp.max(bsum, axis=-1)
+        cand = below & (bsum == maxsum[:, None])
+        best_branch = jnp.min(jnp.where(cand, branch, I32_MAX), axis=-1)
+        # multiple distinct branches?
+        bmin = jnp.min(jnp.where(below, branch, I32_MAX), axis=-1)
+        bmax = jnp.max(jnp.where(below, branch, -1), axis=-1)
+        multi = any_below & (bmin != bmax)
+        # single-branch chain: always descend (no factor test)
+        # branching: descend iff NOT (maxsum / a_base < factor)
+        ratio_breaks = (maxsum / a_base) < jnp.float32(factor)
+        descend = ~done & any_below & (~multi | ~ratio_breaks)
+        stop = ~done & (~any_below | (multi & ratio_breaks))
+        nx = jnp.where(descend, jnp.where(multi, best_branch, bmin), x)
+        na = jnp.where(descend & multi, maxsum, a_base)
+        return nx, na, done | stop
+
+    x0 = jnp.full((B,), dtax.root, jnp.int32)
+    init = (x0, total, jnp.zeros((B,), bool))
+    x, _, _ = jax.lax.fori_loop(0, D - 1, body, init)
+    return x
+
+
+def snap_batch(snapping: jax.Array, taxa: jax.Array, default: int = 0):
+    """Gather nearest-snapped ancestors; out-of-range/unsnappable ->
+    ``default``."""
+    size = snapping.shape[0]
+    safe = jnp.clip(taxa, 0, size - 1)
+    s = snapping[safe]
+    ok = (taxa >= 0) & (taxa < size) & (s != NONE)
+    return jnp.where(ok, s, default)
+
+
+def aggregate_batch(dtax: DeviceTaxonomy, utaxa, ucounts, uvalid,
+                    method: str, strategy: str, factor: float = 0.25):
+    """Dispatch mirroring taxa2agg's matrix for the device-supported
+    strategies (tree lca*/hybrid, rmq mrtl)."""
+    geom = hit_geometry(dtax, utaxa, uvalid)
+    key = (method, strategy)
+    if key == ("tree", "lca*"):
+        return tree_lca_batch(dtax, geom, utaxa)
+    if key == ("tree", "hybrid"):
+        return tree_mix_batch(dtax, geom, utaxa, ucounts, factor)
+    if key == ("rmq", "mrtl"):
+        return rtl_batch(dtax, geom, utaxa, ucounts)
+    raise ValueError(f"device aggregation does not support {method}/{strategy}")

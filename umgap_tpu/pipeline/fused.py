@@ -1,0 +1,114 @@
+"""The fused 9-mer analysis pipeline as a single jitted device program.
+
+Reproduces the composition of the preset 9-mer pipelines
+(/root/reference/scripts/umgap-analyse.sh:276-311):
+
+    translate -a | prot2kmer2lca -m -o | seedextend -gG -sS
+                 | uniq -d / | taxa2agg -lL [-m rmq -a mrtl | -a ...]
+
+as one XLA computation over a padded batch of read pairs. The reference
+runs its precision presets through the external FragGeneScan++ gene
+predictor instead of ``translate -a``; FGSpp is out of scope on device
+(as in the reference, it is an optional external binary), so all presets
+here use the self-contained 6-frame translation front end.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..agg import device as devagg
+from ..ops import encoding, kmers, lookup, seedextend, translate
+
+
+class PipelineConfig(NamedTuple):
+    """One preset's parameters (umgap-analyse.sh:276-311)."""
+
+    name: str
+    k: int = 9
+    min_seed_size: int = 2
+    max_gap_size: int = 1
+    lower_bound: float = 1.0
+    method: str = "rmq"
+    strategy: str = "mrtl"
+    factor: float = 0.25
+    table_number: int = 1
+    k_max: int = 128  # per-read unique-taxa capacity for aggregation
+
+
+PRESETS = {
+    "max-sensitivity": PipelineConfig(
+        "max-sensitivity", min_seed_size=2, max_gap_size=1, lower_bound=1.0,
+        method="rmq", strategy="mrtl"),
+    "high-sensitivity": PipelineConfig(
+        "high-sensitivity", min_seed_size=3, max_gap_size=1, lower_bound=1.0,
+        method="tree", strategy="hybrid", factor=0.25),
+    "high-precision": PipelineConfig(
+        "high-precision", min_seed_size=3, max_gap_size=1, lower_bound=2.0,
+        method="tree", strategy="lca*"),
+    "max-precision": PipelineConfig(
+        "max-precision", min_seed_size=4, max_gap_size=1, lower_bound=5.0,
+        method="tree", strategy="lca*"),
+}
+
+
+def pipeline_step(dna, lengths, dtax: devagg.DeviceTaxonomy,
+                  dtable: lookup.DeviceTable, config: PipelineConfig):
+    """One fused batch step.
+
+    Args:
+      dna: (B, E, L) uint8 DNA codes (E = reads per group, e.g. 2 ends).
+      lengths: (B, E) int32.
+
+    Returns:
+      taxon: (B,) int32 consensus taxon per read group (1 when no hits
+      survive, matching taxa2agg's empty -> "1").
+    """
+    B, E, L = dna.shape
+    table = encoding.get_table(config.table_number)
+
+    # translate all ends x 6 frames
+    aa, plens = translate.translate6_batch(
+        dna.reshape(B * E, L), lengths.reshape(B * E), table
+    )  # (B*E, 6, P), (B*E, 6)
+
+    # k-mer windows + index probe ('-o': misses are 0 within windows)
+    hi, lo, wvalid = kmers.pack_windows_batch(aa, plens, config.k)
+    taxa, found = lookup.probe(dtable, hi, lo, valid=wvalid, default=0)
+    taxa = jnp.where(wvalid, taxa, 0)  # (B*E, 6, W)
+
+    # per-frame seed-extend
+    W = taxa.shape[-1]
+    nkmers = jnp.maximum(plens - (config.k - 1), 0)  # (B*E, 6)
+    keep = seedextend.seedextend_mask_batch(
+        taxa, nkmers, config.min_seed_size, config.max_gap_size)
+    hits = jnp.where(keep, taxa, 0)
+
+    # uniq -d /: all ends and frames of a read group under one header
+    hits = hits.reshape(B, E * 6 * W)
+
+    # taxa2agg: count, filter, aggregate, snap
+    utaxa, ucounts, uvalid = devagg.dedup_counts(
+        hits, jnp.ones_like(hits, jnp.float32), config.k_max)
+    uvalid = devagg.filter_lower_bound(ucounts, uvalid, config.lower_bound)
+    agg = devagg.aggregate_batch(
+        dtax, utaxa, ucounts, uvalid, config.method, config.strategy,
+        config.factor)
+    snapped = devagg.snap_batch(dtax.snap_valid, agg, default=0)
+    nonempty = uvalid.any(axis=-1)
+    return jnp.where(nonempty, snapped, 1).astype(jnp.int32)
+
+
+def make_pipeline(dtax: devagg.DeviceTaxonomy, dtable: lookup.DeviceTable,
+                  config: PipelineConfig):
+    """Jitted (dna, lengths) -> per-read taxon function."""
+
+    @jax.jit
+    def step(dna, lengths):
+        return pipeline_step(dna, lengths, dtax, dtable, config)
+
+    return step

@@ -1,0 +1,112 @@
+"""Host-side streaming runner for the fused pipelines.
+
+Reads FASTQ (paired or single), encodes into padded device batches,
+runs the fused jitted pipeline, and emits the same per-read FASTA the
+reference's analyse pipelines write (header stripped at the paired-end
+delimiter, one consensus taxon per read)."""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..agg import device as devagg
+from ..io import fasta, fastq
+from ..ops import encoding, lookup
+from ..taxonomy import Taxonomy
+from .fused import PRESETS, PipelineConfig, make_pipeline
+
+
+def encode_batch(groups: Sequence[Sequence[str]], ends: int, length: int):
+    """Encode read groups into (B, E, L) codes + lengths (clipped)."""
+    B = len(groups)
+    dna = np.full((B, ends, length), encoding.DNA_N, dtype=np.uint8)
+    lens = np.zeros((B, ends), dtype=np.int32)
+    for i, group in enumerate(groups):
+        for e, seq in enumerate(group[:ends]):
+            codes = encoding.encode_dna(seq)[:length]
+            dna[i, e, : len(codes)] = codes
+            lens[i, e] = len(codes)
+    return dna, lens
+
+
+def read_groups_fastq(paths: Sequence[str], delimiter: str = "/"):
+    """Yield (header, [sequences…]) groups from paired FASTQ files,
+    header stripped at the delimiter (uniq -d semantics)."""
+    handles = [open(p) for p in paths]
+    try:
+        readers = [fastq.read_records(h) for h in handles]
+        for group in fastq.interleave(readers):
+            header = group[0].header
+            idx = header.find(delimiter)
+            if idx != -1:
+                header = header[:idx]
+            yield header, [rec.sequence for rec in group]
+    finally:
+        for h in handles:
+            h.close()
+
+
+class Analyser:
+    """Holds device-resident state (taxonomy + index) across samples —
+    the analogue of the reference's socket index service
+    (/root/reference/src/commands/prot2kmer2lca.rs:116-137), except the
+    'service' is just arrays living in HBM."""
+
+    def __init__(self, tax: Taxonomy, table, config: PipelineConfig,
+                 batch_size: int = 1024, read_length: int = 160, ends: int = 2):
+        self.config = config
+        self.batch_size = batch_size
+        self.read_length = read_length
+        self.ends = ends
+        self.dtax = devagg.DeviceTaxonomy.from_host(tax)
+        self.dtable = lookup.DeviceTable.from_host(table)
+        self.step = make_pipeline(self.dtax, self.dtable, config)
+
+    def analyse_groups(self, groups):
+        """groups: iterable of (header, [seq…]). Yields (header, taxon)."""
+        buf_headers: List[str] = []
+        buf_seqs: List[Sequence[str]] = []
+        for header, seqs in groups:
+            buf_headers.append(header)
+            buf_seqs.append(seqs)
+            if len(buf_headers) == self.batch_size:
+                yield from self._flush(buf_headers, buf_seqs)
+                buf_headers, buf_seqs = [], []
+        if buf_headers:
+            yield from self._flush(buf_headers, buf_seqs)
+
+    def _flush(self, headers, seqs):
+        n = len(headers)
+        # pad to full batch to avoid recompilation
+        while len(seqs) < self.batch_size:
+            seqs.append([""] * self.ends)
+        dna, lens = encode_batch(seqs, self.ends, self.read_length)
+        taxa = np.asarray(self.step(dna, lens))
+        for h, t in zip(headers, taxa[:n]):
+            yield h, int(t)
+
+
+def analyse_paired(fastq1: str, fastq2: str, tax: Taxonomy, table,
+                   preset: str = "high-sensitivity", out=None,
+                   batch_size: int = 256, read_length: int = 160):
+    """Run a preset pipeline over a paired-end sample, writing per-read
+    FASTA records (header, consensus taxon)."""
+    config = PRESETS[preset] if isinstance(preset, str) else preset
+    analyser = Analyser(tax, table, config, batch_size, read_length, ends=2)
+    groups = read_groups_fastq([fastq1, fastq2])
+    results = list(analyser.analyse_groups(groups))
+    if out is not None:
+        writer = fasta.Writer(out, "\n", False)
+        for h, t in results:
+            writer.write_record(fasta.Record(h, [str(t)]))
+    return results
+
+
+def analyse_stream(groups, tax: Taxonomy, table,
+                   preset: str = "high-sensitivity", ends: int = 2,
+                   batch_size: int = 256, read_length: int = 160):
+    config = PRESETS[preset] if isinstance(preset, str) else preset
+    analyser = Analyser(tax, table, config, batch_size, read_length, ends)
+    return list(analyser.analyse_groups(groups))
