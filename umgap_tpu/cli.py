@@ -37,9 +37,9 @@ def _load_taxonomy(path, with_unknown: bool = False) -> Taxonomy:
 
 
 def _load_table(path):
-    from .index.table import _BaseTable
+    from .index.table import load_table
 
-    return _BaseTable.load(path)
+    return load_table(path)
 
 
 def _parse_rank(name: str) -> int:

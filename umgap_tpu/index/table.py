@@ -4,24 +4,26 @@ The reference stores its index as an FST (string-keyed, prefix
 compressed, pointer-chasing lookups — /root/reference/src/commands/
 buildindex.rs:38-46, pept2lca.rs:74-79). Pointer chasing is hostile to
 TPUs; instead we store fixed-width integer arrays in HBM and probe them
-with vectorized gathers:
+with vectorized row gathers:
 
-- ``KmerTable``: keys are fixed-length k-mers (k <= 10) packed into 45
-  bits, split into two int32 lanes. Exact (no collisions possible:
-  the full key is stored).
-- ``PeptideTable``: keys are variable-length peptides fingerprinted with
-  two independent 32-bit FNV-1a hashes (64-bit fingerprint). With n
-  distinct keys the collision probability is ~n^2/2^65 (< 1e-4 even at
-  100M keys); both lanes are stored and compared, so false hits require
-  a full 64-bit collision.
+- ``KmerTable``: fixed-length k-mers (k <= 10, 45-bit packed keys),
+  stored *quotiented*: an invertible Feistel mix whitens the key, the
+  low bits of the mixed key select an 8-slot bucket row, and only the
+  remaining <= 31 bits plus the value are stored — 8 bytes per slot, so
+  one probe is a single 64-byte row gather. Exact (the full key is
+  recoverable), no collisions possible.
+- ``PeptideTable``: variable-length peptides fingerprinted with two
+  independent 32-bit FNV-1a hashes (64-bit fingerprint, stored in full:
+  12 bytes per slot). With n distinct keys the collision probability is
+  ~n^2/2^65 (< 1e-4 at 100M keys).
 
-Both use power-of-two capacity, linear probing, and record the maximum
-probe distance at build time so device probe loops have a static-ish
-bound. Misses return ``default`` (0 for the reference's `-o` mode,
+Both use power-of-two bucket counts and bucket-level linear probing; the
+build *enforces* a maximum probe distance of 1 for k-mer tables (growing
+the table if needed) so the device probe is a statically unrolled 1-2
+rounds. Misses return ``default`` (0 for the reference's `-o` mode,
 src/commands/pept2lca.rs:47-50).
 
-Serialization is a plain ``.npz`` — loads straight into numpy and then
-into HBM with a single device_put per array.
+Serialization is a plain ``.npz``.
 """
 
 from __future__ import annotations
@@ -31,8 +33,12 @@ import numpy as np
 from ..ops import encoding, kmers
 
 EMPTY = np.int32(-1)
+BUCKET = 8  # slots per bucket row
 
-# xxhash/murmur-style 32-bit mixing constants
+MASK20 = np.uint32((1 << 20) - 1)
+MASK25 = np.uint32((1 << 25) - 1)
+
+# 32-bit mixing constants (xxhash/murmur-style)
 _C1 = np.uint32(0x9E3779B1)
 _C2 = np.uint32(0x85EBCA77)
 _C3 = np.uint32(0xC2B2AE3D)
@@ -41,9 +47,49 @@ _FNV_OFFSET = np.uint32(0x811C9DC5)
 _FNV_PRIME = np.uint32(0x01000193)
 _FNV_OFFSET2 = np.uint32(0xCBF29CE4)
 
+# Remainders are 45 - nb_bits <= 30 bits (bits 0..29); bit 30 stores the
+# probe distance (0 or 1) so equal remainders at different home buckets
+# can never alias across rounds; bit 31 stays 0, keeping EMPTY = -1
+# unambiguous.
+MIN_NB_BITS = 15
+MAX_NB_BITS = 25
+DIST_BIT = np.int32(1 << 30)
+
+
+def _mx(x):
+    """32-bit finalizer (works on numpy and jax arrays)."""
+    x = x ^ (x >> 16)
+    x = x * np.uint32(0x7FEB352D)
+    x = x ^ (x >> 15)
+    x = x * np.uint32(0x846CA68B)
+    x = x ^ (x >> 16)
+    return x
+
+
+def mix_key(hi, lo):
+    """Invertible 45-bit whitening of a (20-bit, 25-bit) packed k-mer via
+    a 3-round Feistel network (numpy or jax arrays)."""
+    h = hi.astype(np.uint32)
+    l = lo.astype(np.uint32)
+    l = l ^ (_mx(h + _C1) & MASK25)
+    h = h ^ (_mx(l + _C2) & MASK20)
+    l = l ^ (_mx(h + _C3) & MASK25)
+    return h, l
+
+
+def unmix_key(mhi, mlo):
+    """Inverse of :func:`mix_key` (host side, for printindex)."""
+    h = mhi.astype(np.uint32)
+    l = mlo.astype(np.uint32)
+    l = l ^ (_mx(h + _C3) & MASK25)
+    h = h ^ (_mx(l + _C2) & MASK20)
+    l = l ^ (_mx(h + _C1) & MASK25)
+    return h, l
+
 
 def hash32(hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
-    """32-bit mix of the two key lanes (identical on host and device)."""
+    """32-bit mix of two key lanes (bucket hash for peptide tables and
+    the shard-ownership hash; identical on host and device)."""
     h = (hi.astype(np.uint32) * _C1) ^ (lo.astype(np.uint32) * _C2)
     h ^= h >> np.uint32(16)
     h *= _C3
@@ -52,20 +98,242 @@ def hash32(hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
 
 
 def fingerprint_host(codes: np.ndarray) -> tuple[np.uint32, np.uint32]:
-    """Two independent FNV-1a style hashes over AA codes (one peptide)."""
+    """Two independent FNV-1a style hashes over AA codes (one peptide).
+    h1 avoids the all-ones pattern so EMPTY stays unambiguous."""
     h1 = _FNV_OFFSET
     h2 = _FNV_OFFSET2
     with np.errstate(over="ignore"):
         for c in codes.astype(np.uint32):
             h1 = (h1 ^ c) * _FNV_PRIME
             h2 = (h2 ^ (c + np.uint32(0x9E37))) * _FNV_PRIME
+    if h1 == np.uint32(0xFFFFFFFF):
+        h1 = np.uint32(0)
     return h1, h2
 
 
-class _BaseTable:
-    """Shared open-addressing machinery over (hi, lo) int32 key lanes."""
+def _fingerprints(peptides):
+    n = len(peptides)
+    hi = np.zeros(n, dtype=np.int32)
+    lo = np.zeros(n, dtype=np.int32)
+    for i, p in enumerate(peptides):
+        codes = encoding.encode_aa(p) if isinstance(p, (str, bytes)) else p
+        h1, h2 = fingerprint_host(codes)
+        hi[i] = np.int32(h1)
+        lo[i] = np.int32(h2)
+    return hi, lo
 
-    kind = "base"
+
+# ---------------------------------------------------------------------- #
+# Bucketized insertion (shared)
+# ---------------------------------------------------------------------- #
+
+def _insert_bucketized(bucket0: np.ndarray, payloads, cap: int,
+                       tag_distance: bool = False):
+    """Place keys into BUCKET-wide rows with bucket-level linear probing.
+
+    ``payloads``: list of (n,) int32 arrays; each gets a (cap,) output
+    (EMPTY-filled for the first, 0-filled for the rest). With
+    ``tag_distance``, the first payload is OR-ed with ``r << 30`` at
+    placement round r (quotient disambiguation). Returns
+    (outputs, max_probes)."""
+    n = len(bucket0)
+    n_buckets = max(cap // BUCKET, 1)
+    outs = [np.full(cap, EMPTY if i == 0 else 0, dtype=np.int32)
+            for i in range(len(payloads))]
+    occupancy = np.zeros(n_buckets, dtype=np.int64)
+    pending = np.arange(n)
+    r = 0
+    max_probes = 0
+    while len(pending):
+        if r > n_buckets:
+            raise RuntimeError("table capacity exhausted")
+        b = (bucket0[pending] + r) % n_buckets
+        order = np.argsort(b, kind="stable")
+        bs = b[order]
+        starts = np.concatenate([[0], np.nonzero(np.diff(bs))[0] + 1])
+        group_start = np.repeat(
+            starts, np.diff(np.concatenate([starts, [len(bs)]])))
+        rank = np.arange(len(bs)) - group_start
+        free = BUCKET - occupancy[bs]
+        place = rank < free
+        slot = bs[place] * BUCKET + occupancy[bs[place]] + rank[place]
+        idx = pending[order][place]
+        for i, (out, payload) in enumerate(zip(outs, payloads)):
+            if i == 0 and tag_distance:
+                out[slot] = payload[idx] | np.int32(min(r, 3) << 30)
+            else:
+                out[slot] = payload[idx]
+        placed_buckets, placed_counts = np.unique(bs[place], return_counts=True)
+        occupancy[placed_buckets] += placed_counts
+        if place.any():
+            max_probes = max(max_probes, r)
+        pending = pending[order][~place]
+        r += 1
+    return outs, max_probes
+
+
+def _pow2_capacity(n: int, load_factor: float, min_cap: int) -> int:
+    cap = min_cap
+    while cap * load_factor < max(n, 1):
+        cap *= 2
+    return cap
+
+
+# ---------------------------------------------------------------------- #
+# KmerTable (quotiented, exact)
+# ---------------------------------------------------------------------- #
+
+class KmerTable:
+    """Fixed-k packed-kmer table, quotient-stored: 8 bytes per slot."""
+
+    kind = "kmer"
+
+    def __init__(self, rem, values, max_probes: int, n: int, meta=None):
+        self.rem = rem
+        self.values = values
+        self.max_probes = int(max_probes)
+        self.n = int(n)
+        self.meta = dict(meta or {})
+
+    @property
+    def capacity(self) -> int:
+        return len(self.values)
+
+    @property
+    def n_buckets(self) -> int:
+        return max(self.capacity // BUCKET, 1)
+
+    @property
+    def nb_bits(self) -> int:
+        return int(self.meta["nb_bits"])
+
+    @property
+    def k(self) -> int:
+        return self.meta.get("k", kmers.DEFAULT_K)
+
+    # -- construction --------------------------------------------------- #
+
+    @classmethod
+    def build(cls, packed: np.ndarray, values: np.ndarray, k: int,
+              load_factor: float = 0.45, capacity: int | None = None,
+              max_probe_limit: int = 1) -> "KmerTable":
+        hi, lo = kmers.split_packed(packed.astype(np.uint64))
+        mhi, mlo = mix_key(hi, lo)
+        cap = capacity or _pow2_capacity(
+            len(values), load_factor, BUCKET << MIN_NB_BITS)
+        while True:
+            nb_bits = int(np.log2(max(cap // BUCKET, 1)))
+            if nb_bits > MAX_NB_BITS:
+                raise ValueError("table too large for 25-bit bucket index")
+            bucket0 = (mlo & np.uint32((1 << nb_bits) - 1)).astype(np.int64)
+            rem = ((mlo >> np.uint32(nb_bits))
+                   | (mhi << np.uint32(25 - nb_bits))).astype(np.int32)
+            (rem_arr, val_arr), max_probes = _insert_bucketized(
+                bucket0, [rem, values.astype(np.int32)], cap, tag_distance=True)
+            if max_probes <= max_probe_limit:
+                return cls(rem_arr, val_arr, max_probes, len(values),
+                           {"k": k, "nb_bits": nb_bits})
+            if capacity is not None:
+                raise RuntimeError(
+                    f"max probe distance {max_probes} exceeds limit at the "
+                    "requested capacity; use a larger capacity")
+            cap *= 2
+
+    # -- probing -------------------------------------------------------- #
+
+    def probe_host(self, hi: np.ndarray, lo: np.ndarray,
+                   default: int = 0) -> tuple[np.ndarray, np.ndarray]:
+        hi = np.asarray(hi, dtype=np.int32)
+        lo = np.asarray(lo, dtype=np.int32)
+        nb = self.n_buckets
+        nb_bits = self.nb_bits
+        mhi, mlo = mix_key(hi, lo)
+        bucket = (mlo & np.uint32(nb - 1)).astype(np.int64)
+        rem = ((mlo >> np.uint32(nb_bits))
+               | (mhi << np.uint32(25 - nb_bits))).astype(np.int32)
+        kr = self.rem.reshape(nb, BUCKET)
+        kv = self.values.reshape(nb, BUCKET)
+        out = np.full(hi.shape, default, dtype=np.int32)
+        found = np.zeros(hi.shape, dtype=bool)
+        live = np.ones(hi.shape, dtype=bool)
+        for r in range(self.max_probes + 1):
+            if not live.any():
+                break
+            rr = kr[bucket]  # (..., BUCKET)
+            rv = kv[bucket]
+            tag = rem | np.int32(min(r, 3) << 30)
+            hit8 = rr == tag[..., None]
+            anyhit = hit8.any(axis=-1)
+            val = np.take_along_axis(
+                rv, np.argmax(hit8, axis=-1)[..., None], axis=-1)[..., 0]
+            newly = live & anyhit
+            out[newly] = val[newly]
+            found |= newly
+            has_empty = (rr == EMPTY).any(axis=-1)
+            live = live & ~anyhit & ~has_empty
+            bucket = (bucket + 1) % nb
+        return out, found
+
+    def lookup_host(self, peptides_codes, default: int = 0):
+        """Per-peptide k-mer lookups (host oracle)."""
+        results = []
+        for codes in peptides_codes:
+            packed = kmers.pack_kmers_host(codes, self.k)
+            hi, lo = kmers.split_packed(packed)
+            vals, found = self.probe_host(hi, lo, default)
+            results.append((vals, found))
+        return results
+
+    def items(self):
+        """(packed_key, value) pairs in slot order (for printindex). The
+        stored distance tag makes reconstruction exact: home bucket =
+        slot bucket - distance."""
+        occ = np.nonzero(self.rem != EMPTY)[0]
+        tag = self.rem[occ].astype(np.uint32)
+        dist = (tag >> np.uint32(30)).astype(np.int64)
+        rem = tag & np.uint32((1 << 30) - 1)
+        nb_bits = self.nb_bits
+        nb = self.n_buckets
+        home = ((occ // BUCKET) - dist) % nb
+        mlo = (home.astype(np.uint32)
+               | ((rem & np.uint32((1 << (25 - nb_bits)) - 1))
+                  << np.uint32(nb_bits))) & MASK25
+        mhi = (rem >> np.uint32(25 - nb_bits)) & MASK20
+        hi, lo = unmix_key(mhi, mlo)
+        packed = kmers.join_packed(hi.astype(np.int32), lo.astype(np.int32))
+        return packed, self.values[occ]
+
+    # -- serialization -------------------------------------------------- #
+
+    def save(self, path):
+        np.savez_compressed(
+            path,
+            kind=np.bytes_(self.kind),
+            rem=self.rem,
+            values=self.values,
+            max_probes=np.int64(self.max_probes),
+            n=np.int64(self.n),
+            **{f"meta_{k}": np.int64(v) for k, v in self.meta.items()},
+        )
+
+    @staticmethod
+    def load(path):
+        return load_table(path)
+
+
+# ---------------------------------------------------------------------- #
+# PeptideTable (fingerprinted, variable-length keys)
+# ---------------------------------------------------------------------- #
+
+class PeptideTable:
+    """Variable-length peptide table keyed by 64-bit fingerprints.
+
+    When ``store_keys`` (default), the original key strings are kept in
+    the artifact so ``printindex`` can stream them back (the FST does
+    this intrinsically; we store a newline-joined blob).
+    """
+
+    kind = "peptide"
 
     def __init__(self, key_hi, key_lo, values, max_probes: int, n: int, meta=None):
         self.key_hi = key_hi
@@ -81,81 +349,65 @@ class _BaseTable:
     def capacity(self) -> int:
         return len(self.values)
 
-    # -- construction --------------------------------------------------- #
+    @property
+    def n_buckets(self) -> int:
+        return max(self.capacity // BUCKET, 1)
 
     @classmethod
-    def _build(cls, hi: np.ndarray, lo: np.ndarray, values: np.ndarray,
-               load_factor: float = 0.6, meta=None):
-        n = len(values)
-        cap = 64
-        while cap * load_factor < max(n, 1):
-            cap *= 2
-        mask = np.uint32(cap - 1)
-        key_hi = np.full(cap, EMPTY, dtype=np.int32)
-        key_lo = np.full(cap, EMPTY, dtype=np.int32)
-        vals = np.zeros(cap, dtype=np.int32)
-
-        hi = hi.astype(np.int32)
-        lo = lo.astype(np.int32)
-        values = values.astype(np.int32)
-        slot = (hash32(hi, lo) & mask).astype(np.int64)
-        pending = np.arange(n)
-        probes = np.zeros(n, dtype=np.int64)
-        max_probes = 0
-        while len(pending):
-            s = slot[pending]
-            # first key per candidate slot wins this round
-            uniq, first_idx = np.unique(s, return_index=True)
-            winners_mask = np.zeros(len(pending), dtype=bool)
-            winners_mask[first_idx] = True
-            # only place into genuinely empty slots
-            empty = key_hi[s] == EMPTY
-            place = winners_mask & empty
-            idx = pending[place]
-            key_hi[s[place]] = hi[idx]
-            key_lo[s[place]] = lo[idx]
-            vals[s[place]] = values[idx]
-            # everyone else probes forward
-            lose = ~place
-            max_probes = max(max_probes, int(probes[pending].max(initial=0)))
-            slot[pending[lose]] = (slot[pending[lose]] + 1) % cap
-            probes[pending[lose]] += 1
-            pending = pending[lose]
-        max_probes = int(probes.max(initial=0))
-        return cls(key_hi, key_lo, vals, max_probes, n, meta)
-
-    # -- probing -------------------------------------------------------- #
+    def build(cls, peptides, values: np.ndarray,
+              load_factor: float = 0.45, store_keys: bool = True) -> "PeptideTable":
+        peptides = list(peptides)
+        hi, lo = _fingerprints(peptides)
+        cap = _pow2_capacity(len(values), load_factor, 64)
+        n_buckets = max(cap // BUCKET, 1)
+        bucket0 = (hash32(hi, lo) & np.uint32(n_buckets - 1)).astype(np.int64)
+        (kh, kl, kv), max_probes = _insert_bucketized(
+            bucket0, [hi, lo, values.astype(np.int32)], cap)
+        t = cls(kh, kl, kv, max_probes, len(values))
+        if store_keys:
+            t.raw_keys = [
+                p if isinstance(p, str) else encoding.decode_aa(p) for p in peptides
+            ]
+            t.raw_values = np.asarray(values, dtype=np.int32)
+        return t
 
     def probe_host(self, hi: np.ndarray, lo: np.ndarray,
                    default: int = 0) -> tuple[np.ndarray, np.ndarray]:
-        """Vectorized host probe. Returns (values, found_mask); missing
-        entries get ``default``."""
         hi = np.asarray(hi, dtype=np.int32)
         lo = np.asarray(lo, dtype=np.int32)
-        cap = self.capacity
-        mask = np.uint32(cap - 1)
-        slot = (hash32(hi, lo) & mask).astype(np.int64)
+        nb = self.n_buckets
+        kh = self.key_hi.reshape(nb, BUCKET)
+        kl = self.key_lo.reshape(nb, BUCKET)
+        kv = self.values.reshape(nb, BUCKET)
+        bucket = (hash32(hi, lo) & np.uint32(nb - 1)).astype(np.int64)
         out = np.full(hi.shape, default, dtype=np.int32)
         found = np.zeros(hi.shape, dtype=bool)
         live = np.ones(hi.shape, dtype=bool)
         for _ in range(self.max_probes + 1):
             if not live.any():
                 break
-            kh = self.key_hi[slot]
-            kl = self.key_lo[slot]
-            hit = live & (kh == hi) & (kl == lo)
-            out[hit] = self.values[slot[hit]]
-            found |= hit
-            empty = kh == EMPTY
-            live = live & ~hit & ~empty
-            slot = (slot + 1) % cap
+            rh = kh[bucket]
+            rl = kl[bucket]
+            rv = kv[bucket]
+            hit8 = (rh == hi[..., None]) & (rl == lo[..., None])
+            anyhit = hit8.any(axis=-1)
+            val = np.take_along_axis(
+                rv, np.argmax(hit8, axis=-1)[..., None], axis=-1)[..., 0]
+            newly = live & anyhit
+            out[newly] = val[newly]
+            found |= newly
+            has_empty = (rh == EMPTY).any(axis=-1)
+            live = live & ~anyhit & ~has_empty
+            bucket = (bucket + 1) % nb
         return out, found
 
-    # -- serialization -------------------------------------------------- #
+    def lookup_peptides_host(self, peptides, default: int = 0):
+        hi, lo = _fingerprints(list(peptides))
+        return self.probe_host(hi, lo, default)
 
     def save(self, path):
         extra = {}
-        if getattr(self, "raw_keys", None) is not None:
+        if self.raw_keys is not None:
             extra["raw_keys"] = np.frombuffer(
                 "\n".join(self.raw_keys).encode(), dtype=np.uint8
             )
@@ -174,94 +426,21 @@ class _BaseTable:
 
     @staticmethod
     def load(path):
-        z = np.load(path, allow_pickle=False)
-        kind = bytes(z["kind"]).decode() if "kind" in z else "kmer"
-        meta = {
-            k[len("meta_"):]: int(z[k]) for k in z.files if k.startswith("meta_")
-        }
-        cls = KmerTable if kind == "kmer" else PeptideTable
-        t = cls(
-            z["key_hi"], z["key_lo"], z["values"],
-            int(z["max_probes"]), int(z["n"]), meta,
-        )
-        if "raw_keys" in z.files:
-            blob = z["raw_keys"].tobytes().decode()
-            t.raw_keys = blob.split("\n") if blob else []
-            t.raw_values = z["raw_values"]
-        return t
+        return load_table(path)
 
 
-class KmerTable(_BaseTable):
-    """Fixed-k packed-kmer table (exact)."""
-
-    kind = "kmer"
-
-    @classmethod
-    def build(cls, packed: np.ndarray, values: np.ndarray, k: int,
-              load_factor: float = 0.6) -> "KmerTable":
-        hi, lo = kmers.split_packed(packed.astype(np.uint64))
-        t = cls._build(hi, lo, values, load_factor, meta={"k": k})
-        return t
-
-    @property
-    def k(self) -> int:
-        return self.meta.get("k", kmers.DEFAULT_K)
-
-    def lookup_host(self, peptides_codes: list[np.ndarray], default: int = 0):
-        """Per-peptide k-mer lookups (host oracle)."""
-        results = []
-        for codes in peptides_codes:
-            packed = kmers.pack_kmers_host(codes, self.k)
-            hi, lo = kmers.split_packed(packed)
-            vals, found = self.probe_host(hi, lo, default)
-            results.append((vals, found))
-        return results
-
-    def items(self):
-        """Iterate (packed_key, value) in slot order (for printindex)."""
-        occ = np.nonzero(self.key_hi != EMPTY)[0]
-        packed = kmers.join_packed(self.key_hi[occ], self.key_lo[occ])
-        return packed, self.values[occ]
-
-
-class PeptideTable(_BaseTable):
-    """Variable-length peptide table keyed by 64-bit fingerprints.
-
-    When ``store_keys`` (default), the original key strings are kept in
-    the artifact so ``printindex`` can stream them back
-    (the FST does this intrinsically; we store a newline-joined blob).
-    """
-
-    kind = "peptide"
-
-    @classmethod
-    def build(cls, peptides, values: np.ndarray,
-              load_factor: float = 0.6, store_keys: bool = True) -> "PeptideTable":
-        """``peptides``: iterable of AA strings (or code arrays)."""
-        peptides = list(peptides)
-        n = len(values)
-        hi = np.zeros(n, dtype=np.int32)
-        lo = np.zeros(n, dtype=np.int32)
-        for i, p in enumerate(peptides):
-            codes = encoding.encode_aa(p) if isinstance(p, (str, bytes)) else p
-            h1, h2 = fingerprint_host(codes)
-            hi[i] = np.int32(h1)
-            lo[i] = np.int32(h2)
-        t = cls._build(hi, lo, values, load_factor)
-        if store_keys:
-            t.raw_keys = [
-                p if isinstance(p, str) else encoding.decode_aa(p) for p in peptides
-            ]
-            t.raw_values = np.asarray(values, dtype=np.int32)
-        return t
-
-    def lookup_peptides_host(self, peptides, default: int = 0):
-        n = len(peptides)
-        hi = np.zeros(n, dtype=np.int32)
-        lo = np.zeros(n, dtype=np.int32)
-        for i, p in enumerate(peptides):
-            codes = encoding.encode_aa(p) if isinstance(p, (str, bytes)) else p
-            h1, h2 = fingerprint_host(codes)
-            hi[i] = np.int32(h1)
-            lo[i] = np.int32(h2)
-        return self.probe_host(hi, lo, default)
+def load_table(path):
+    """Load either table kind from an .npz artifact."""
+    z = np.load(path, allow_pickle=False)
+    kind = bytes(z["kind"]).decode()
+    meta = {k[len("meta_"):]: int(z[k]) for k in z.files if k.startswith("meta_")}
+    if kind == "kmer":
+        return KmerTable(z["rem"], z["values"], int(z["max_probes"]),
+                         int(z["n"]), meta)
+    t = PeptideTable(z["key_hi"], z["key_lo"], z["values"],
+                     int(z["max_probes"]), int(z["n"]), meta)
+    if "raw_keys" in z.files:
+        blob = z["raw_keys"].tobytes().decode()
+        t.raw_keys = blob.split("\n") if blob else []
+        t.raw_values = z["raw_values"]
+    return t

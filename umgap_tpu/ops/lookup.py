@@ -2,11 +2,14 @@
 
 The probe is the throughput core of the whole framework — the analogue
 of the reference's ``fst.get`` per k-mer hot loop
-(/root/reference/src/commands/prot2kmer2lca.rs:174-179). Here a whole
-batch of packed k-mers probes an HBM-resident open-addressing table with
-vectorized gathers inside a short ``lax.while_loop`` (bounded by the
-table's build-time maximum probe distance; the common case resolves in
-one round: hit or empty slot).
+(/root/reference/src/commands/prot2kmer2lca.rs:174-179).
+
+K-mer tables are quotient-stored (see :mod:`umgap_tpu.index.table`):
+8-slot buckets of (30-bit remainder + 2-bit probe distance, value), so
+one probe round is a single contiguous 64-byte row gather from HBM
+followed by an 8-wide vector compare, and the build guarantees at most
+two rounds — statically unrolled, no ``while_loop`` syncs. Peptide
+tables store full 64-bit fingerprints (96-byte rows).
 """
 
 from __future__ import annotations
@@ -17,34 +20,59 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-_C1 = 0x9E3779B1
-_C2 = 0x85EBCA77
-_C3 = 0xC2B2AE3D
+from ..index.table import (
+    BUCKET,
+    MASK20,
+    MASK25,
+    _C1,
+    _C2,
+    _C3,
+    mix_key,
+)
 
 
 class DeviceTable(NamedTuple):
-    """Device-resident view of an index table."""
+    """Device-resident view of an index table (packed bucket rows)."""
 
-    key_hi: jax.Array  # (cap,) int32, -1 = empty
-    key_lo: jax.Array  # (cap,) int32
-    values: jax.Array  # (cap,) int32
-    max_probes: int  # static
+    rows: jax.Array  # (n_buckets, 2*BUCKET or 3*BUCKET) int32
+    max_probes: int  # static bucket-round bound
+    kind: str        # "kmer" | "peptide"
+    nb_bits: int     # kmer tables: log2(n_buckets)
+
+    @property
+    def n_buckets(self) -> int:
+        return self.rows.shape[0]
 
     @classmethod
     def from_host(cls, table, device=None) -> "DeviceTable":
+        rows = pack_rows(table)
         put = (lambda x: jax.device_put(x, device)) if device else jnp.asarray
-        return cls(
-            put(table.key_hi), put(table.key_lo), put(table.values),
-            int(table.max_probes),
-        )
+        nb_bits = table.nb_bits if table.kind == "kmer" else 0
+        return cls(put(rows), int(table.max_probes), table.kind, nb_bits)
+
+
+def pack_rows(table) -> np.ndarray:
+    """Concatenate a host table's slot arrays into per-bucket rows."""
+    nb = table.n_buckets
+    if table.kind == "kmer":
+        return np.concatenate(
+            [table.rem.reshape(nb, BUCKET), table.values.reshape(nb, BUCKET)],
+            axis=1,
+        ).astype(np.int32)
+    return np.concatenate(
+        [
+            table.key_hi.reshape(nb, BUCKET),
+            table.key_lo.reshape(nb, BUCKET),
+            table.values.reshape(nb, BUCKET),
+        ],
+        axis=1,
+    ).astype(np.int32)
 
 
 def hash32_device(hi: jax.Array, lo: jax.Array) -> jax.Array:
-    h = (hi.astype(jnp.uint32) * np.uint32(_C1)) ^ (
-        lo.astype(jnp.uint32) * np.uint32(_C2)
-    )
+    h = (hi.astype(jnp.uint32) * _C1) ^ (lo.astype(jnp.uint32) * _C2)
     h = h ^ (h >> 16)
-    h = h * np.uint32(_C3)
+    h = h * _C3
     h = h ^ (h >> 13)
     return h
 
@@ -54,36 +82,53 @@ def probe(table: DeviceTable, hi: jax.Array, lo: jax.Array,
     """Look up packed keys. Returns (values, found).
 
     Args:
-      table: device table arrays.
-      hi, lo: int32 key lanes, any shape.
+      table: device table (packed bucket rows).
+      hi, lo: int32 key lanes (packed k-mer halves for kmer tables,
+        fingerprint halves for peptide tables), any shape.
       valid: optional bool mask; invalid lanes return ``default``/False.
       default: value for misses (0 reproduces the reference's `-o`).
     """
-    cap = table.values.shape[0]
-    mask = jnp.uint32(cap - 1)
-    slot = (hash32_device(hi, lo) & mask).astype(jnp.int32)
+    nb = table.n_buckets
     live = jnp.ones(hi.shape, dtype=bool) if valid is None else valid
     out = jnp.full(hi.shape, default, dtype=jnp.int32)
     found = jnp.zeros(hi.shape, dtype=bool)
 
-    def cond(state):
-        i, live, _, _, _ = state
-        return jnp.logical_and(i <= table.max_probes, live.any())
+    if table.kind == "kmer":
+        nb_bits = table.nb_bits
+        mhi, mlo = mix_key(hi, lo)
+        bucket = (mlo & np.uint32(nb - 1)).astype(jnp.int32)
+        rem = ((mlo >> np.uint32(nb_bits))
+               | (mhi << np.uint32(25 - nb_bits))).astype(jnp.int32)
+        for r in range(table.max_probes + 1):
+            row = jnp.take(table.rows, bucket, axis=0)  # (..., 16)
+            rr = row[..., 0:BUCKET]
+            rv = row[..., BUCKET:2 * BUCKET]
+            tag = rem | jnp.int32(min(r, 3) << 30)
+            hit8 = rr == tag[..., None]
+            anyhit = jnp.any(hit8, axis=-1)
+            val = jnp.sum(jnp.where(hit8, rv, 0), axis=-1)
+            newly = live & anyhit
+            out = jnp.where(newly, val, out)
+            found = found | newly
+            has_empty = jnp.any(rr == jnp.int32(-1), axis=-1)
+            live = live & ~anyhit & ~has_empty
+            bucket = (bucket + 1) & jnp.int32(nb - 1)
+        return out, found
 
-    def body(state):
-        i, live, slot, out, found = state
-        kh = jnp.take(table.key_hi, slot, axis=0)
-        kl = jnp.take(table.key_lo, slot, axis=0)
-        v = jnp.take(table.values, slot, axis=0)
-        hit = live & (kh == hi) & (kl == lo)
-        out = jnp.where(hit, v, out)
-        found = found | hit
-        empty = kh == jnp.int32(-1)
-        live = live & ~hit & ~empty
-        slot = (slot + 1) & jnp.int32(cap - 1)
-        return i + 1, live, slot, out, found
-
-    _, _, _, out, found = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), live, slot, out, found)
-    )
+    # peptide (fingerprint) table
+    bucket = (hash32_device(hi, lo) & jnp.uint32(nb - 1)).astype(jnp.int32)
+    for _ in range(table.max_probes + 1):
+        row = jnp.take(table.rows, bucket, axis=0)  # (..., 24)
+        rh = row[..., 0:BUCKET]
+        rl = row[..., BUCKET:2 * BUCKET]
+        rv = row[..., 2 * BUCKET:3 * BUCKET]
+        hit8 = (rh == hi[..., None]) & (rl == lo[..., None])
+        anyhit = jnp.any(hit8, axis=-1)
+        val = jnp.sum(jnp.where(hit8, rv, 0), axis=-1)
+        newly = live & anyhit
+        out = jnp.where(newly, val, out)
+        found = found | newly
+        has_empty = jnp.any(rh == jnp.int32(-1), axis=-1)
+        live = live & ~anyhit & ~has_empty
+        bucket = (bucket + 1) & jnp.int32(nb - 1)
     return out, found

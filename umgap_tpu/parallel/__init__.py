@@ -1,0 +1,13 @@
+"""Multi-chip distribution.
+
+The reference's parallelism is OS processes, rayon threads, and one Unix
+socket (SURVEY.md §2.5); here the pod-scale equivalents are JAX
+collectives over a device mesh: reads are data-parallel across the mesh,
+the k-mer table is sharded across it (the ~100 GB 9-mer index cannot
+live on one chip), probes are routed to owner shards with ``all_to_all``
+and returned the same way, and sample-level frequency tables merge with
+``psum``.
+"""
+
+from .mesh import make_mesh  # noqa: F401
+from .sharded import ShardedTable, build_sharded_tables, make_sharded_pipeline  # noqa: F401

@@ -1,0 +1,199 @@
+"""Sharded k-mer table with all-to-all probe routing.
+
+The reference keeps one full copy of the ~100 GB FST per host
+(/root/reference/src/commands/prot2kmer2lca.rs:109-114). TPU-native
+design: partition keys by a hash-range function across the mesh, keep
+one shard per device in HBM, and for each batch route every query to its
+owner shard with ``lax.all_to_all``, probe locally, and route results
+back. Reads stay data-parallel on the same mesh axis.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..index.table import KmerTable, hash32
+from ..ops import kmers as kmerops
+from ..ops import lookup
+
+
+def owner_of(hi, lo, n_shards: int):
+    """Shard owner by range-partitioning the hash's upper 16 bits (the
+    slot index uses the lower bits, keeping the two independent)."""
+    h = hash32(hi, lo) if isinstance(hi, np.ndarray) else lookup.hash32_device(hi, lo)
+    top = (h >> 16).astype(jnp.uint32 if not isinstance(hi, np.ndarray) else np.uint32)
+    return ((top * np.uint32(n_shards)) >> np.uint32(16)).astype(
+        np.int32 if isinstance(hi, np.ndarray) else jnp.int32
+    )
+
+
+def build_sharded_tables(packed: np.ndarray, values: np.ndarray, k: int,
+                         n_shards: int, load_factor: float = 0.45):
+    """Split keys by owner and build per-shard tables with one common
+    capacity (so the stacked arrays are rectangular). Grows the common
+    capacity until every shard satisfies the probe-distance limit."""
+    from ..index.table import BUCKET, MIN_NB_BITS, _pow2_capacity
+
+    packed = packed.astype(np.uint64)
+    hi, lo = kmerops.split_packed(packed)
+    owner = owner_of(hi, lo, n_shards)
+    max_n = max(
+        (int((owner == s).sum()) for s in range(n_shards)), default=1)
+    cap = _pow2_capacity(max_n, load_factor, BUCKET << MIN_NB_BITS)
+    while True:
+        try:
+            shards = [
+                KmerTable.build(packed[owner == s], values[owner == s], k,
+                                capacity=cap)
+                for s in range(n_shards)
+            ]
+            return shards
+        except RuntimeError:
+            cap *= 2
+
+
+class ShardedTable(NamedTuple):
+    """Stacked packed shard rows, shard axis laid out over the mesh."""
+
+    rows: jax.Array  # (n_shards, n_buckets, row_width) int32
+    max_probes: int
+    n_shards: int
+    kind: str
+    nb_bits: int
+
+    @classmethod
+    def from_shards(cls, shards, mesh: Mesh, axis: str = "x") -> "ShardedTable":
+        n = len(shards)
+        sharding = NamedSharding(mesh, P(axis, None, None))
+        stacked = np.stack([lookup.pack_rows(t) for t in shards])
+        return cls(
+            rows=jax.device_put(stacked, sharding),
+            max_probes=max(t.max_probes for t in shards),
+            n_shards=n,
+            kind=shards[0].kind,
+            nb_bits=shards[0].nb_bits if shards[0].kind == "kmer" else 0,
+        )
+
+
+def sharded_probe_local(local_hi, local_lo, local_valid,
+                        shard_rows, max_probes: int,
+                        axis: str, default: int = 0,
+                        kind: str = "kmer", nb_bits: int = 0):
+    """Probe inside shard_map: local queries of any shape; the local
+    table shard's packed rows. Routes via all_to_all both ways."""
+    n = jax.lax.axis_size(axis)
+    shape = local_hi.shape
+    hi = local_hi.reshape(-1)
+    lo = local_lo.reshape(-1)
+    valid = local_valid.reshape(-1)
+    B = hi.shape[0]
+
+    owner = owner_of(hi, lo, n)
+    owner = jnp.where(valid, owner, 0)
+
+    # stable sort by owner; rank within owner group
+    order = jnp.argsort(owner, stable=True)
+    inv = jnp.argsort(order, stable=True)  # query -> sorted position
+    sorted_owner = owner[order]
+    counts = jax.ops.segment_sum(jnp.ones_like(owner), owner, num_segments=n)
+    starts = jnp.concatenate([jnp.zeros(1, counts.dtype), jnp.cumsum(counts)[:-1]])
+    rank = jnp.arange(B, dtype=jnp.int32) - starts[sorted_owner].astype(jnp.int32)
+
+    # scatter into (n, B) buckets
+    def bucketize(x, fill):
+        buckets = jnp.full((n, B), fill, x.dtype)
+        return buckets.at[sorted_owner, rank].set(x[order])
+
+    b_hi = bucketize(hi, jnp.int32(-1))
+    b_lo = bucketize(lo, jnp.int32(-1))
+    b_valid = bucketize(valid, False)
+
+    # exchange: row j of the result = queries device j sends to me
+    r_hi = jax.lax.all_to_all(b_hi, axis, 0, 0, tiled=False)
+    r_lo = jax.lax.all_to_all(b_lo, axis, 0, 0, tiled=False)
+    r_valid = jax.lax.all_to_all(b_valid, axis, 0, 0, tiled=False)
+
+    local_table = lookup.DeviceTable(shard_rows, max_probes, kind, nb_bits)
+    vals, found = lookup.probe(local_table, r_hi, r_lo, valid=r_valid,
+                               default=default)
+
+    # route results back and unscatter
+    back_vals = jax.lax.all_to_all(vals, axis, 0, 0, tiled=False)
+    back_found = jax.lax.all_to_all(found, axis, 0, 0, tiled=False)
+    out_sorted_v = back_vals[sorted_owner, rank]
+    out_sorted_f = back_found[sorted_owner, rank]
+    out_v = out_sorted_v[inv]
+    out_f = out_sorted_f[inv]
+    out_v = jnp.where(valid, out_v, default)
+    out_f = out_f & valid
+    return out_v.reshape(shape), out_f.reshape(shape)
+
+
+def make_sharded_pipeline(dtax, stable: ShardedTable, config, mesh: Mesh,
+                          axis: str = "x", n_ranks: int = 32):
+    """The fused pipeline under shard_map: reads data-parallel over the
+    mesh, table sharded over the same axis, probes routed all-to-all,
+    plus a psum-merged per-rank frequency vector (the taxa2freq analogue,
+    exercising the cross-chip collectives end to end)."""
+    from jax import shard_map
+
+    from ..agg import device as devagg
+    from ..ops import encoding, seedextend, translate
+    from ..pipeline.fused import PipelineConfig
+
+    table = encoding.get_table(config.table_number)
+
+    def local_step(dna, lengths, shard_rows):
+        # shard axis arrives with a leading length-1 mesh dim
+        shard_rows = shard_rows[0]
+        B, E, L = dna.shape
+        aa, plens = translate.translate6_batch(
+            dna.reshape(B * E, L), lengths.reshape(B * E), table)
+        hi, lo, wvalid = kmerops.pack_windows_batch(aa, plens, config.k)
+        taxa, _found = sharded_probe_local(
+            hi, lo, wvalid, shard_rows,
+            stable.max_probes, axis, default=0,
+            kind=stable.kind, nb_bits=stable.nb_bits)
+        taxa = jnp.where(wvalid, taxa, 0)
+        W = taxa.shape[-1]
+        nk = jnp.maximum(plens - (config.k - 1), 0)
+        keep = seedextend.seedextend_mask_batch(
+            taxa, nk, config.min_seed_size, config.max_gap_size)
+        hits = jnp.where(keep, taxa, 0).reshape(B, E * 6 * W)
+        utaxa, ucounts, uvalid = devagg.dedup_counts(
+            hits, jnp.ones_like(hits, jnp.float32), config.k_max)
+        uvalid = devagg.filter_lower_bound(ucounts, uvalid, config.lower_bound)
+        agg = devagg.aggregate_batch(
+            dtax, utaxa, ucounts, uvalid, config.method, config.strategy,
+            config.factor)
+        snapped = devagg.snap_batch(dtax.snap_valid, agg, default=0)
+        nonempty = uvalid.any(axis=-1)
+        out = jnp.where(nonempty, snapped, 1).astype(jnp.int32)
+
+        # taxa2freq analogue: per-rank counts, psum-merged across chips
+        ranks_of = devagg.snap_batch(dtax.snap_ranked, out, default=0)
+        freq = jax.ops.segment_sum(
+            jnp.ones_like(ranks_of, jnp.float32),
+            jnp.clip(ranks_of, 0, n_ranks - 1),
+            num_segments=n_ranks)
+        freq = jax.lax.psum(freq, axis)
+        return out, freq
+
+    fn = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis, None, None)),
+        out_specs=(P(axis), P()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step(dna, lengths):
+        return fn(dna, lengths, stable.rows)
+
+    return step
