@@ -136,6 +136,61 @@ def test_fused_matches_cli(world, tmp_path, preset):
         assert fused[h] == cli_out[h], (preset, h)
 
 
+@pytest.mark.parametrize("preset", ["tryptic-sensitivity", "tryptic-precision"])
+def test_tryptic_fused_matches_cli(world, tmp_path, preset):
+    from umgap_tpu.index.table import PeptideTable
+    from umgap_tpu.ops import kmers as kmerops
+    from umgap_tpu.pipeline import TRYPTIC_PRESETS, analyse_tryptic_groups
+
+    tax, _ktable, reads = world
+    cfg = TRYPTIC_PRESETS[preset]
+
+    # build a tryptic index over fragments of the world proteins
+    rng = np.random.default_rng(11)
+    frags = {}
+    for h, r1, r2 in reads:
+        pass
+    # digest the source proteins directly (grab them via translating reads)
+    seen = set()
+    for h, r1, r2 in reads:
+        for dna in (r1, r2):
+            from umgap_tpu.ops import translate as transmod
+            pep = transmod.translate_sequence(
+                dna, ["1"], encoding.get_table(1))[0]
+            for f in kmerops.tryptic_digest(pep):
+                if 9 <= len(f) <= 45 and f not in seen:
+                    seen.add(f)
+                    frags[f] = int(rng.choice([1001, 1002, 1003, 101, 102]))
+    table = PeptideTable.build(list(frags), np.array(list(frags.values()),
+                                                    dtype=np.int32))
+    taxfile = tmp_path / "taxons.tsv"
+    lines = []
+    for tid in np.nonzero(tax.present)[0]:
+        t = tax.get(int(tid))
+        lines.append(
+            f"{t.id}\t{t.name}\t{ranks.rank_name(t.rank)}\t{t.parent}\t\x01")
+    taxfile.write_text("\n".join(lines) + "\n")
+    idxfile = tmp_path / "tryp.npz"
+    table.save(idxfile)
+
+    fasta_in = "".join(f">{h}/1\n{r1}\n>{h}/2\n{r2}\n" for h, r1, r2 in reads)
+    s = run_cli(["translate", "-a"], fasta_in)
+    s = run_cli(["prot2tryp2lca", "-l", "9", "-L", "45", str(idxfile)], s)
+    s = run_cli(["uniq", "-d", "/"], s)
+    s = run_cli(["taxa2agg", "-l", str(int(cfg.lower_bound)), "-m", "rmq",
+                 "-a", "mrtl", str(taxfile)], s)
+    cli_out = {}
+    for block in s.split(">")[1:]:
+        ls = block.splitlines()
+        cli_out[ls[0]] = int(ls[1])
+
+    groups = [(h, [r1, r2]) for h, r1, r2 in reads]
+    fused = dict(analyse_tryptic_groups(groups, tax, table, cfg, batch_size=8))
+    assert set(fused) == set(cli_out)
+    for h in cli_out:
+        assert fused[h] == cli_out[h], (preset, h)
+
+
 def test_translate_pipeline_hits_species(world):
     """Sanity: clean reads resolve to their source species or ancestors."""
     tax, table, reads = world

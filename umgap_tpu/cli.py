@@ -680,7 +680,54 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("fst_file")
     sp.set_defaults(func=cmd_printindex)
 
+    sp = sub.add_parser(
+        "analyse",
+        help="Run a preset pipeline end-to-end (umgap-analyse.sh equivalent)",
+    )
+    sp.add_argument("-t", "--type", default="high-precision",
+                    choices=["max-sensitivity", "high-sensitivity",
+                             "high-precision", "max-precision",
+                             "tryptic-sensitivity", "tryptic-precision"])
+    sp.add_argument("-1", "--first", required=True, help="FASTQ end 1")
+    sp.add_argument("-2", "--second", default=None, help="FASTQ end 2")
+    sp.add_argument("--taxons", required=True, help="taxon TSV file")
+    sp.add_argument("--index", required=True,
+                    help="9-mer or tryptic index (.npz)")
+    sp.add_argument("--batch-size", type=int, default=1024)
+    sp.add_argument("--read-length", type=int, default=160)
+    sp.set_defaults(func=cmd_analyse)
+
     return p
+
+
+def cmd_analyse(args, stdin, stdout):
+    """The six preset pipelines, fused on device
+    (scripts/umgap-analyse.sh:276-311; FGSpp replaced by 6-frame
+    translation for the non-tryptic front end)."""
+    from .index.table import load_table
+    from .pipeline import (
+        PRESETS,
+        TRYPTIC_PRESETS,
+        analyse_stream,
+        analyse_tryptic_groups,
+    )
+    from .pipeline.runner import read_groups_fastq
+
+    tax = _load_taxonomy(args.taxons)
+    table = _load_table(args.index)
+    paths = [args.first] + ([args.second] if args.second else [])
+    groups = list(read_groups_fastq(paths))
+    if args.type in TRYPTIC_PRESETS:
+        results = analyse_tryptic_groups(
+            groups, tax, table, TRYPTIC_PRESETS[args.type],
+            batch_size=args.batch_size)
+    else:
+        results = analyse_stream(
+            groups, tax, table, args.type, ends=len(paths),
+            batch_size=args.batch_size, read_length=args.read_length)
+    writer = fasta.Writer(stdout, "\n", False)
+    for h, t in results:
+        writer.write_record(fasta.Record(h, [str(t)]))
 
 
 def main(argv=None, stdin=None, stdout=None) -> int:

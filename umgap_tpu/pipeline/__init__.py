@@ -9,3 +9,4 @@ frequency dedup -> aggregate -> snap, with the index HBM-resident.
 
 from .fused import PipelineConfig, PRESETS, make_pipeline  # noqa: F401
 from .runner import analyse_paired, analyse_stream  # noqa: F401
+from .tryptic import TRYPTIC_PRESETS, analyse_tryptic_groups  # noqa: F401
