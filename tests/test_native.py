@@ -1,0 +1,61 @@
+"""Native host-runtime tests: C++ parser vs the Python IO layer."""
+
+import numpy as np
+import pytest
+
+from umgap_tpu.io import fastq, native
+from umgap_tpu.ops import encoding, kmers
+
+pytestmark = pytest.mark.skipif(
+    not native.ensure_built(), reason="native library unavailable")
+
+TESTDATA = "/root/reference/testdata/A1.fq"
+
+
+def test_parse_fastq_matches_python():
+    headers, codes, lens = native.parse_fastq_file(TESTDATA, max_len=120)
+    with open(TESTDATA) as f:
+        py = list(fastq.read_records(f))
+    assert len(headers) == len(py) == 100
+    for i, rec in enumerate(py):
+        assert headers[i] == rec.header
+        assert lens[i] == len(rec.sequence)
+        assert encoding.decode_dna(codes[i, : lens[i]]) == rec.sequence.replace(
+            "a", "N")  # testdata is uppercase; identity check
+
+
+def test_parse_fastq_clips_long_reads(tmp_path):
+    p = tmp_path / "x.fq"
+    p.write_text("@r1\n" + "ACGT" * 50 + "\n+\n" + "I" * 200 + "\n")
+    headers, codes, lens = native.parse_fastq_file(str(p), max_len=100)
+    assert lens[0] == 100
+    assert headers == ["r1"]
+
+
+def test_parse_fasta(tmp_path):
+    p = tmp_path / "x.fa"
+    p.write_text(">h1\nACGT\nGGGG\n>h2\nTTTT\n")
+    headers, codes, lens = native.parse_fasta_file(str(p), max_len=50)
+    assert headers == ["h1", "h2"]
+    assert encoding.decode_dna(codes[0, : lens[0]]) == "ACGTGGGG"
+    assert encoding.decode_dna(codes[1, : lens[1]]) == "TTTT"
+
+
+def test_split_kmers_matches_python():
+    tsv = b"12\tMNAKYDTDQGV\n34\tSHORT\n56\tKLMNPQRSTV\n"
+    packed, tids = native.split_kmers_tsv(tsv, k=9)
+    # python oracle
+    expect = []
+    for tid, seq in ((12, "MNAKYDTDQGV"), (34, "SHORT"), (56, "KLMNPQRSTV")):
+        for p in kmers.pack_kmers_host(encoding.encode_aa(seq), 9):
+            expect.append((int(p), tid))
+    assert [(int(p), int(t)) for p, t in zip(packed, tids)] == expect
+
+
+def test_multiline_fastq(tmp_path):
+    p = tmp_path / "m.fq"
+    p.write_text("@r1\nAC\nGT\n+\nII\nII\n@r2\nGGGG\n+\nIIII\n")
+    headers, codes, lens = native.parse_fastq_file(str(p), max_len=50)
+    assert headers == ["r1", "r2"]
+    assert encoding.decode_dna(codes[0, : lens[0]]) == "ACGT"
+    assert encoding.decode_dna(codes[1, : lens[1]]) == "GGGG"

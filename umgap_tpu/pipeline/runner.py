@@ -87,16 +87,53 @@ class Analyser:
         for h, t in zip(headers, taxa[:n]):
             yield h, int(t)
 
+    def analyse_arrays(self, headers, dna: np.ndarray, lens: np.ndarray):
+        """Pre-encoded groups: dna (N, E, L), lens (N, E)."""
+        N = len(headers)
+        B = self.batch_size
+        for start in range(0, N, B):
+            nd = dna[start : start + B]
+            nl = lens[start : start + B]
+            n = len(nd)
+            if n < B:
+                nd = np.pad(nd, ((0, B - n), (0, 0), (0, 0)),
+                            constant_values=encoding.DNA_N)
+                nl = np.pad(nl, ((0, B - n), (0, 0)))
+            taxa = np.asarray(self.step(nd, nl))
+            for h, t in zip(headers[start : start + n], taxa[:n]):
+                yield h, int(t)
+
 
 def analyse_paired(fastq1: str, fastq2: str, tax: Taxonomy, table,
                    preset: str = "high-sensitivity", out=None,
-                   batch_size: int = 256, read_length: int = 160):
+                   batch_size: int = 256, read_length: int = 160,
+                   use_native: bool = True):
     """Run a preset pipeline over a paired-end sample, writing per-read
-    FASTA records (header, consensus taxon)."""
+    FASTA records (header, consensus taxon). Uses the native C++ parser
+    when available (whole-file parse straight into padded code arrays)."""
     config = PRESETS[preset] if isinstance(preset, str) else preset
     analyser = Analyser(tax, table, config, batch_size, read_length, ends=2)
-    groups = read_groups_fastq([fastq1, fastq2])
-    results = list(analyser.analyse_groups(groups))
+    results = None
+    if use_native:
+        try:
+            from ..io import native
+
+            if native.ensure_built():
+                h1, c1, l1 = native.parse_fastq_file(fastq1, read_length)
+                h2, c2, l2 = native.parse_fastq_file(fastq2, read_length)
+                n = min(len(h1), len(h2))  # Zip semantics: stop at shortest
+                headers = []
+                for h in h1[:n]:
+                    idx = h.find("/")
+                    headers.append(h[:idx] if idx != -1 else h)
+                dna = np.stack([c1[:n], c2[:n]], axis=1)
+                lens = np.stack([l1[:n], l2[:n]], axis=1)
+                results = list(analyser.analyse_arrays(headers, dna, lens))
+        except Exception:
+            results = None
+    if results is None:
+        groups = read_groups_fastq([fastq1, fastq2])
+        results = list(analyser.analyse_groups(groups))
     if out is not None:
         writer = fasta.Writer(out, "\n", False)
         for h, t in results:
