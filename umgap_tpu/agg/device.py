@@ -236,11 +236,23 @@ def snap_batch(snapping: jax.Array, taxa: jax.Array, default: int = 0):
 
 
 def aggregate_batch(dtax: DeviceTaxonomy, utaxa, ucounts, uvalid,
-                    method: str, strategy: str, factor: float = 0.25):
-    """Dispatch mirroring taxa2agg's matrix for the device-supported
-    strategies (tree lca*/hybrid, rmq mrtl)."""
-    geom = hit_geometry(dtax, utaxa, uvalid)
+                    method: str, strategy: str, factor: float = 0.25,
+                    euler=None):
+    """Dispatch mirroring taxa2agg's full matrix
+    (/root/reference/src/commands/taxa2agg.rs:111-140). ``rmq``/``lca*``
+    needs a :class:`~umgap_tpu.agg.device_rmq.DeviceEuler`."""
     key = (method, strategy)
+    if key == ("rmq", "lca*"):
+        from .device_rmq import rmq_lca_batch
+
+        if euler is None:
+            raise ValueError("rmq/lca* needs a DeviceEuler (pass euler=...)")
+        return rmq_lca_batch(euler, utaxa, uvalid)
+    if key == ("rmq", "hybrid"):
+        from .device_rmq import rmq_mix_batch
+
+        return rmq_mix_batch(dtax, utaxa, ucounts, uvalid, factor)
+    geom = hit_geometry(dtax, utaxa, uvalid)
     if key == ("tree", "lca*"):
         return tree_lca_batch(dtax, geom, utaxa)
     if key == ("tree", "hybrid"):

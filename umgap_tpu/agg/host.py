@@ -207,7 +207,9 @@ class RmqLCA(HostAggregator):
     def aggregate(self, counts: Dict[int, float]) -> int:
         if not counts:
             raise EmptyInputError()
-        indices = [self._first_occ(t) for t in counts.keys()]
+        # The reference iterates HashMap order (random per process); we
+        # canonicalize to ascending taxon id so host and device agree.
+        indices = [self._first_occ(t) for t in sorted(counts.keys())]
         consensus = indices[0]
         join_level = None
         for nxt in indices[1:]:
