@@ -136,6 +136,23 @@ def test_fused_matches_cli(world, tmp_path, preset):
         assert fused[h] == cli_out[h], (preset, h)
 
 
+@pytest.mark.parametrize("method,strategy,factor", [
+    ("rmq", "lca*", 0.0), ("rmq", "hybrid", 0.5)])
+def test_fused_rmq_strategies_match_cli(world, tmp_path, method, strategy, factor):
+    """The two RMQ strategies not used by presets, as custom configs."""
+    tax, table, reads = world
+    cfg = PRESETS["max-sensitivity"]._replace(
+        method=method, strategy=strategy, factor=factor, k_max=32)
+    cli_out = cli_reference_run(
+        world, tmp_path, cfg.min_seed_size, cfg.max_gap_size,
+        int(cfg.lower_bound), method, strategy, factor)
+    groups = [(h, [r1, r2]) for h, r1, r2 in reads]
+    fused = dict(analyse_stream(groups, tax, table, cfg,
+                                batch_size=8, read_length=128))
+    for h in cli_out:
+        assert fused[h] == cli_out[h], (method, strategy, h)
+
+
 @pytest.mark.parametrize("preset", ["tryptic-sensitivity", "tryptic-precision"])
 def test_tryptic_fused_matches_cli(world, tmp_path, preset):
     from umgap_tpu.index.table import PeptideTable

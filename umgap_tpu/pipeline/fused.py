@@ -57,7 +57,8 @@ PRESETS = {
 
 
 def pipeline_step(dna, lengths, dtax: devagg.DeviceTaxonomy,
-                  dtable: lookup.DeviceTable, config: PipelineConfig):
+                  dtable: lookup.DeviceTable, config: PipelineConfig,
+                  euler=None):
     """One fused batch step.
 
     Args:
@@ -97,18 +98,18 @@ def pipeline_step(dna, lengths, dtax: devagg.DeviceTaxonomy,
     uvalid = devagg.filter_lower_bound(ucounts, uvalid, config.lower_bound)
     agg = devagg.aggregate_batch(
         dtax, utaxa, ucounts, uvalid, config.method, config.strategy,
-        config.factor)
+        config.factor, euler=euler)
     snapped = devagg.snap_batch(dtax.snap_valid, agg, default=0)
     nonempty = uvalid.any(axis=-1)
     return jnp.where(nonempty, snapped, 1).astype(jnp.int32)
 
 
 def make_pipeline(dtax: devagg.DeviceTaxonomy, dtable: lookup.DeviceTable,
-                  config: PipelineConfig):
+                  config: PipelineConfig, euler=None):
     """Jitted (dna, lengths) -> per-read taxon function."""
 
     @jax.jit
     def step(dna, lengths):
-        return pipeline_step(dna, lengths, dtax, dtable, config)
+        return pipeline_step(dna, lengths, dtax, dtable, config, euler)
 
     return step

@@ -62,7 +62,12 @@ class Analyser:
         self.ends = ends
         self.dtax = devagg.DeviceTaxonomy.from_host(tax)
         self.dtable = lookup.DeviceTable.from_host(table)
-        self.step = make_pipeline(self.dtax, self.dtable, config)
+        euler = None
+        if (config.method, config.strategy) == ("rmq", "lca*"):
+            from ..agg.device_rmq import DeviceEuler
+
+            euler = DeviceEuler.from_host(tax)
+        self.step = make_pipeline(self.dtax, self.dtable, config, euler)
 
     def analyse_groups(self, groups):
         """groups: iterable of (header, [seq…]). Yields (header, taxon)."""
