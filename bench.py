@@ -3,7 +3,14 @@
 Measures end-to-end read-pairs/second of the high-sensitivity preset
 (translate -a | prot2kmer2lca -o | seedextend -g1 -s3 | uniq |
 taxa2agg hybrid) as one fused jitted program over a synthetic 2M-key
-9-mer index and random 100 bp paired reads with planted true segments.
+9-mer index and random 100 bp paired reads.
+
+Methodology: inputs are pre-generated distinct batches; the loop keeps a
+dispatch depth of 2 and *materializes every output on the host* (the
+axon platform's block_until_ready does not actually block, so transfers
+are the only honest completion barrier; depth-2 pipelining reflects the
+production streaming runner, which overlaps host IO with device
+compute).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
@@ -13,10 +20,11 @@ read pair (2 ends x 6 frames x ~25 9-mers; prot2kmer2lca.rs:174-179)
 plus per-read seedextend/aggregation; at an optimistic 7.5M in-memory
 FST gets/s across a 16-core host that is ~25,000 read pairs/s. The
 reference repo publishes no numbers (BASELINE.md), so this model is the
-denominator; 10x target = vs_baseline 10.
+denominator; the 10x target = vs_baseline 10.
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -25,12 +33,15 @@ RUST_BASELINE_PAIRS_PER_S = 25_000.0
 
 
 def main():
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          os.path.join(os.path.dirname(
+                              os.path.abspath(__file__)), ".jax_cache"))
     import jax
 
     from umgap_tpu import ranks
     from umgap_tpu.agg import device as devagg
     from umgap_tpu.index.table import KmerTable
-    from umgap_tpu.ops import encoding, lookup
+    from umgap_tpu.ops import lookup
     from umgap_tpu.pipeline import PRESETS, make_pipeline
     from umgap_tpu.taxonomy import Taxon, Taxonomy
 
@@ -54,22 +65,30 @@ def main():
     table = KmerTable.build(packed, values, k=9)
     dtable = lookup.DeviceTable.from_host(table)
 
-    # --- reads: B pairs of 100bp, ~half with planted coding segments -- #
+    # --- reads: distinct random batches of 100 bp pairs --------------- #
     B, E, L = 4096, 2, 100
-    dna = rng.integers(0, 4, size=(B, E, L)).astype(np.uint8)
-    lengths = np.full((B, E), L, dtype=np.int32)
+    n_batches = 8
+    batches = [
+        (rng.integers(0, 4, size=(B, E, L)).astype(np.uint8),
+         np.full((B, E), L, dtype=np.int32))
+        for _ in range(n_batches)
+    ]
 
     config = PRESETS["high-sensitivity"]._replace(k_max=128)
     step = make_pipeline(dtax, dtable, config)
 
-    out = step(dna, lengths)
-    jax.block_until_ready(out)  # compile + warmup
+    np.asarray(step(*batches[0]))  # compile + warmup
 
-    iters = 10
+    iters = 16
+    depth = 2
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = step(dna, lengths)
-    jax.block_until_ready(out)
+    outs = []
+    for i in range(iters):
+        outs.append(step(*batches[i % n_batches]))
+        if len(outs) > depth:
+            np.asarray(outs.pop(0))
+    for o in outs:
+        np.asarray(o)
     dt = time.perf_counter() - t0
 
     pairs_per_s = B * iters / dt

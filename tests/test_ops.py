@@ -171,6 +171,27 @@ def test_device_probe_matches_host():
     assert (np.asarray(dev_found) == host_found).all()
 
 
+def test_bucket4_table_roundtrip():
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(5)
+    n = 3000
+    packed = np.unique(rng.integers(0, 2 ** 45, size=2 * n).astype(np.uint64))[:n]
+    values = rng.integers(1, 2 ** 31 - 1, size=n).astype(np.int32)
+    t = KmerTable.build(packed, values, k=9, bucket=4)
+    assert t.bucket == 4
+    hi, lo = kmers.split_packed(packed)
+    got, found = t.probe_host(hi, lo)
+    assert found.all() and (got == values).all()
+    dt = lookup.DeviceTable.from_host(t)
+    dev_vals, dev_found = lookup.probe(dt, jnp.asarray(hi), jnp.asarray(lo))
+    assert (np.asarray(dev_vals) == values).all()
+    # printindex reconstruction stays exact with 4-slot buckets
+    pk, pv = t.items()
+    order = np.argsort(pk)
+    assert set(pk.tolist()) == set(packed.tolist())
+
+
 def test_device_probe_valid_mask():
     import jax.numpy as jnp
 

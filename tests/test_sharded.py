@@ -48,7 +48,8 @@ def test_sharded_probe_matches_single(monkeypatch):
     def local(hi, lo, rows):
         return sharded_probe_local(
             hi, lo, jnp.ones_like(hi, bool), rows[0],
-            stable.max_probes, "x", kind=stable.kind, nb_bits=stable.nb_bits)
+            stable.max_probes, "x", kind=stable.kind, nb_bits=stable.nb_bits,
+            bucket=stable.bucket)
 
     fn = shard_map(
         local, mesh=mesh,

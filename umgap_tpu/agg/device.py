@@ -27,14 +27,25 @@ from ..taxonomy import NONE, Taxonomy
 I32_MAX = np.int32(np.iinfo(np.int32).max)
 
 
-class DeviceTaxonomy(NamedTuple):
-    """Device-resident taxonomy arrays."""
+@jax.tree_util.register_pytree_node_class
+class DeviceTaxonomy:
+    """Device-resident taxonomy arrays (a registered pytree: pass as a
+    jit argument, not a closure constant)."""
 
-    depth: jax.Array      # (size,) int32, -1 for unreachable
-    anc: jax.Array        # (size, D) int32 ancestor-at-depth, -1 above
-    snap_valid: jax.Array  # (size,) int32 snapping (valid ancestors)
-    snap_ranked: jax.Array  # (size,) int32 snapping (valid+ranked)
-    root: int
+    def __init__(self, depth, anc, snap_valid, snap_ranked, root: int):
+        self.depth = depth            # (size,) int32, -1 for unreachable
+        self.anc = anc                # (size, D) int32 ancestor-at-depth
+        self.snap_valid = snap_valid  # (size,) int32 snapping (valid)
+        self.snap_ranked = snap_ranked  # (size,) int32 (valid+ranked)
+        self.root = root
+
+    def tree_flatten(self):
+        return (self.depth, self.anc, self.snap_valid, self.snap_ranked), (
+            self.root,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, aux[0])
 
     @classmethod
     def from_host(cls, tax: Taxonomy, device=None) -> "DeviceTaxonomy":

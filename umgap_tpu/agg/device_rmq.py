@@ -27,16 +27,27 @@ from .device import DeviceTaxonomy, I32_MAX, _argmax_tiebreak
 from .rmq import BLOCK, RMQ, _LOG2_BLOCK
 
 
-class DeviceEuler(NamedTuple):
-    """Euler tour + RMQ tables on device."""
+@jax.tree_util.register_pytree_node_class
+class DeviceEuler:
+    """Euler tour + RMQ tables on device (registered pytree)."""
 
-    tour: jax.Array        # (T,) int32 taxon ids
-    depths: jax.Array      # (T,) int32
-    first: jax.Array       # (size,) int32 first occurrence (-1 absent)
-    block_min: jax.Array   # (nb,) int32 argmin position per block
-    sparse: jax.Array      # (L, nb) int32, level j = argmin over 2^(j+1) blocks
-    nlevels: int
-    tour_len: int
+    def __init__(self, tour, depths, first, block_min, sparse,
+                 nlevels: int, tour_len: int):
+        self.tour = tour            # (T,) int32 taxon ids
+        self.depths = depths        # (T,) int32
+        self.first = first          # (size,) int32 first occurrence (-1)
+        self.block_min = block_min  # (nb,) int32 argmin per block
+        self.sparse = sparse        # (L, nb) int32 sparse argmin table
+        self.nlevels = nlevels
+        self.tour_len = tour_len
+
+    def tree_flatten(self):
+        return (self.tour, self.depths, self.first, self.block_min,
+                self.sparse), (self.nlevels, self.tour_len)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
 
     @classmethod
     def from_host(cls, tax: Taxonomy) -> "DeviceEuler":
@@ -49,13 +60,13 @@ class DeviceEuler(NamedTuple):
         for j, lv in enumerate(levels):
             sparse[j, : len(lv)] = lv
         return cls(
-            tour=jnp.asarray(tour, jnp.int32),
-            depths=jnp.asarray(depths, jnp.int32),
-            first=jnp.asarray(first, jnp.int32),
-            block_min=jnp.asarray(rmq.block_min, jnp.int32),
-            sparse=jnp.asarray(sparse),
-            nlevels=len(levels),
-            tour_len=len(tour),
+            jnp.asarray(tour, jnp.int32),
+            jnp.asarray(depths, jnp.int32),
+            jnp.asarray(first, jnp.int32),
+            jnp.asarray(rmq.block_min, jnp.int32),
+            jnp.asarray(sparse),
+            len(levels),
+            len(tour),
         )
 
 

@@ -128,7 +128,7 @@ def _fingerprints(peptides):
 # ---------------------------------------------------------------------- #
 
 def _insert_bucketized(bucket0: np.ndarray, payloads, cap: int,
-                       tag_distance: bool = False):
+                       tag_distance: bool = False, bucket: int = BUCKET):
     """Place keys into BUCKET-wide rows with bucket-level linear probing.
 
     ``payloads``: list of (n,) int32 arrays; each gets a (cap,) output
@@ -137,7 +137,7 @@ def _insert_bucketized(bucket0: np.ndarray, payloads, cap: int,
     placement round r (quotient disambiguation). Returns
     (outputs, max_probes)."""
     n = len(bucket0)
-    n_buckets = max(cap // BUCKET, 1)
+    n_buckets = max(cap // bucket, 1)
     outs = [np.full(cap, EMPTY if i == 0 else 0, dtype=np.int32)
             for i in range(len(payloads))]
     occupancy = np.zeros(n_buckets, dtype=np.int64)
@@ -154,13 +154,13 @@ def _insert_bucketized(bucket0: np.ndarray, payloads, cap: int,
         group_start = np.repeat(
             starts, np.diff(np.concatenate([starts, [len(bs)]])))
         rank = np.arange(len(bs)) - group_start
-        free = BUCKET - occupancy[bs]
+        free = bucket - occupancy[bs]
         place = rank < free
-        slot = bs[place] * BUCKET + occupancy[bs[place]] + rank[place]
+        slot = bs[place] * bucket + occupancy[bs[place]] + rank[place]
         idx = pending[order][place]
         for i, (out, payload) in enumerate(zip(outs, payloads)):
             if i == 0 and tag_distance:
-                out[slot] = payload[idx] | np.int32(min(r, 3) << 30)
+                out[slot] = payload[idx] | np.int32(min(r, 1) << 30)
             else:
                 out[slot] = payload[idx]
         placed_buckets, placed_counts = np.unique(bs[place], return_counts=True)
@@ -200,8 +200,12 @@ class KmerTable:
         return len(self.values)
 
     @property
+    def bucket(self) -> int:
+        return int(self.meta.get("bucket", BUCKET))
+
+    @property
     def n_buckets(self) -> int:
-        return max(self.capacity // BUCKET, 1)
+        return max(self.capacity // self.bucket, 1)
 
     @property
     def nb_bits(self) -> int:
@@ -216,23 +220,27 @@ class KmerTable:
     @classmethod
     def build(cls, packed: np.ndarray, values: np.ndarray, k: int,
               load_factor: float = 0.45, capacity: int | None = None,
-              max_probe_limit: int = 1) -> "KmerTable":
+              max_probe_limit: int = 1, bucket: int = BUCKET) -> "KmerTable":
+        """``bucket`` trades memory for probe speed: 4-slot buckets
+        halve the bytes per probe round but need a sparser table to keep
+        the probe-distance limit (roughly 2x capacity vs 8-slot)."""
         hi, lo = kmers.split_packed(packed.astype(np.uint64))
         mhi, mlo = mix_key(hi, lo)
         cap = capacity or _pow2_capacity(
-            len(values), load_factor, BUCKET << MIN_NB_BITS)
+            len(values), load_factor, bucket << MIN_NB_BITS)
         while True:
-            nb_bits = int(np.log2(max(cap // BUCKET, 1)))
+            nb_bits = int(np.log2(max(cap // bucket, 1)))
             if nb_bits > MAX_NB_BITS:
                 raise ValueError("table too large for 25-bit bucket index")
             bucket0 = (mlo & np.uint32((1 << nb_bits) - 1)).astype(np.int64)
             rem = ((mlo >> np.uint32(nb_bits))
                    | (mhi << np.uint32(25 - nb_bits))).astype(np.int32)
             (rem_arr, val_arr), max_probes = _insert_bucketized(
-                bucket0, [rem, values.astype(np.int32)], cap, tag_distance=True)
+                bucket0, [rem, values.astype(np.int32)], cap,
+                tag_distance=True, bucket=bucket)
             if max_probes <= max_probe_limit:
                 return cls(rem_arr, val_arr, max_probes, len(values),
-                           {"k": k, "nb_bits": nb_bits})
+                           {"k": k, "nb_bits": nb_bits, "bucket": bucket})
             if capacity is not None:
                 raise RuntimeError(
                     f"max probe distance {max_probes} exceeds limit at the "
@@ -251,8 +259,8 @@ class KmerTable:
         bucket = (mlo & np.uint32(nb - 1)).astype(np.int64)
         rem = ((mlo >> np.uint32(nb_bits))
                | (mhi << np.uint32(25 - nb_bits))).astype(np.int32)
-        kr = self.rem.reshape(nb, BUCKET)
-        kv = self.values.reshape(nb, BUCKET)
+        kr = self.rem.reshape(nb, self.bucket)
+        kv = self.values.reshape(nb, self.bucket)
         out = np.full(hi.shape, default, dtype=np.int32)
         found = np.zeros(hi.shape, dtype=bool)
         live = np.ones(hi.shape, dtype=bool)
@@ -261,7 +269,7 @@ class KmerTable:
                 break
             rr = kr[bucket]  # (..., BUCKET)
             rv = kv[bucket]
-            tag = rem | np.int32(min(r, 3) << 30)
+            tag = rem | np.int32(min(r, 1) << 30)
             hit8 = rr == tag[..., None]
             anyhit = hit8.any(axis=-1)
             val = np.take_along_axis(
@@ -294,7 +302,7 @@ class KmerTable:
         rem = tag & np.uint32((1 << 30) - 1)
         nb_bits = self.nb_bits
         nb = self.n_buckets
-        home = ((occ // BUCKET) - dist) % nb
+        home = ((occ // self.bucket) - dist) % nb
         mlo = (home.astype(np.uint32)
                | ((rem & np.uint32((1 << (25 - nb_bits)) - 1))
                   << np.uint32(nb_bits))) & MASK25

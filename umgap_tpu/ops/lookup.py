@@ -14,8 +14,6 @@ tables store full 64-bit fingerprints (96-byte rows).
 
 from __future__ import annotations
 
-from typing import NamedTuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -31,13 +29,30 @@ from ..index.table import (
 )
 
 
-class DeviceTable(NamedTuple):
-    """Device-resident view of an index table (packed bucket rows)."""
+@jax.tree_util.register_pytree_node_class
+class DeviceTable:
+    """Device-resident view of an index table (packed bucket rows).
 
-    rows: jax.Array  # (n_buckets, 2*BUCKET or 3*BUCKET) int32
-    max_probes: int  # static bucket-round bound
-    kind: str        # "kmer" | "peptide"
-    nb_bits: int     # kmer tables: log2(n_buckets)
+    A registered pytree whose only array leaf is ``rows`` — pass tables
+    as *arguments* to jitted functions (a closed-over table would be
+    embedded in the program as a constant, bloating compiles).
+    """
+
+    def __init__(self, rows, max_probes: int, kind: str, nb_bits: int,
+                 bucket: int = BUCKET):
+        self.rows = rows  # (n_buckets, 2*bucket or 3*bucket) int32
+        self.max_probes = max_probes
+        self.kind = kind
+        self.nb_bits = nb_bits
+        self.bucket = bucket
+
+    def tree_flatten(self):
+        return (self.rows,), (self.max_probes, self.kind, self.nb_bits,
+                              self.bucket)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], *aux)
 
     @property
     def n_buckets(self) -> int:
@@ -48,22 +63,25 @@ class DeviceTable(NamedTuple):
         rows = pack_rows(table)
         put = (lambda x: jax.device_put(x, device)) if device else jnp.asarray
         nb_bits = table.nb_bits if table.kind == "kmer" else 0
-        return cls(put(rows), int(table.max_probes), table.kind, nb_bits)
+        bucket = getattr(table, "bucket", BUCKET)
+        return cls(put(rows), int(table.max_probes), table.kind, nb_bits,
+                   bucket)
 
 
 def pack_rows(table) -> np.ndarray:
     """Concatenate a host table's slot arrays into per-bucket rows."""
     nb = table.n_buckets
+    bk = getattr(table, "bucket", BUCKET)
     if table.kind == "kmer":
         return np.concatenate(
-            [table.rem.reshape(nb, BUCKET), table.values.reshape(nb, BUCKET)],
+            [table.rem.reshape(nb, bk), table.values.reshape(nb, bk)],
             axis=1,
         ).astype(np.int32)
     return np.concatenate(
         [
-            table.key_hi.reshape(nb, BUCKET),
-            table.key_lo.reshape(nb, BUCKET),
-            table.values.reshape(nb, BUCKET),
+            table.key_hi.reshape(nb, bk),
+            table.key_lo.reshape(nb, bk),
+            table.values.reshape(nb, bk),
         ],
         axis=1,
     ).astype(np.int32)
@@ -99,11 +117,12 @@ def probe(table: DeviceTable, hi: jax.Array, lo: jax.Array,
         bucket = (mlo & np.uint32(nb - 1)).astype(jnp.int32)
         rem = ((mlo >> np.uint32(nb_bits))
                | (mhi << np.uint32(25 - nb_bits))).astype(jnp.int32)
+        bk = table.bucket
         for r in range(table.max_probes + 1):
-            row = jnp.take(table.rows, bucket, axis=0)  # (..., 16)
-            rr = row[..., 0:BUCKET]
-            rv = row[..., BUCKET:2 * BUCKET]
-            tag = rem | jnp.int32(min(r, 3) << 30)
+            row = jnp.take(table.rows, bucket, axis=0)  # (..., 2*bk)
+            rr = row[..., 0:bk]
+            rv = row[..., bk:2 * bk]
+            tag = rem | jnp.int32(min(r, 1) << 30)
             hit8 = rr == tag[..., None]
             anyhit = jnp.any(hit8, axis=-1)
             val = jnp.sum(jnp.where(hit8, rv, 0), axis=-1)
@@ -117,11 +136,12 @@ def probe(table: DeviceTable, hi: jax.Array, lo: jax.Array,
 
     # peptide (fingerprint) table
     bucket = (hash32_device(hi, lo) & jnp.uint32(nb - 1)).astype(jnp.int32)
+    bk = table.bucket
     for _ in range(table.max_probes + 1):
-        row = jnp.take(table.rows, bucket, axis=0)  # (..., 24)
-        rh = row[..., 0:BUCKET]
-        rl = row[..., BUCKET:2 * BUCKET]
-        rv = row[..., 2 * BUCKET:3 * BUCKET]
+        row = jnp.take(table.rows, bucket, axis=0)  # (..., 3*bk)
+        rh = row[..., 0:bk]
+        rl = row[..., bk:2 * bk]
+        rv = row[..., 2 * bk:3 * bk]
         hit8 = (rh == hi[..., None]) & (rl == lo[..., None])
         anyhit = jnp.any(hit8, axis=-1)
         val = jnp.sum(jnp.where(hit8, rv, 0), axis=-1)

@@ -57,14 +57,27 @@ def build_sharded_tables(packed: np.ndarray, values: np.ndarray, k: int,
             cap *= 2
 
 
-class ShardedTable(NamedTuple):
-    """Stacked packed shard rows, shard axis laid out over the mesh."""
+@jax.tree_util.register_pytree_node_class
+class ShardedTable:
+    """Stacked packed shard rows, shard axis laid out over the mesh
+    (registered pytree; pass as a jit argument)."""
 
-    rows: jax.Array  # (n_shards, n_buckets, row_width) int32
-    max_probes: int
-    n_shards: int
-    kind: str
-    nb_bits: int
+    def __init__(self, rows, max_probes: int, n_shards: int, kind: str,
+                 nb_bits: int, bucket: int):
+        self.rows = rows  # (n_shards, n_buckets, row_width) int32
+        self.max_probes = max_probes
+        self.n_shards = n_shards
+        self.kind = kind
+        self.nb_bits = nb_bits
+        self.bucket = bucket
+
+    def tree_flatten(self):
+        return (self.rows,), (self.max_probes, self.n_shards, self.kind,
+                              self.nb_bits, self.bucket)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], *aux)
 
     @classmethod
     def from_shards(cls, shards, mesh: Mesh, axis: str = "x") -> "ShardedTable":
@@ -77,13 +90,15 @@ class ShardedTable(NamedTuple):
             n_shards=n,
             kind=shards[0].kind,
             nb_bits=shards[0].nb_bits if shards[0].kind == "kmer" else 0,
+            bucket=shards[0].bucket,
         )
 
 
 def sharded_probe_local(local_hi, local_lo, local_valid,
                         shard_rows, max_probes: int,
                         axis: str, default: int = 0,
-                        kind: str = "kmer", nb_bits: int = 0):
+                        kind: str = "kmer", nb_bits: int = 0,
+                        bucket: int = 8):
     """Probe inside shard_map: local queries of any shape; the local
     table shard's packed rows. Routes via all_to_all both ways."""
     n = jax.lax.axis_size(axis)
@@ -118,7 +133,8 @@ def sharded_probe_local(local_hi, local_lo, local_valid,
     r_lo = jax.lax.all_to_all(b_lo, axis, 0, 0, tiled=False)
     r_valid = jax.lax.all_to_all(b_valid, axis, 0, 0, tiled=False)
 
-    local_table = lookup.DeviceTable(shard_rows, max_probes, kind, nb_bits)
+    local_table = lookup.DeviceTable(shard_rows, max_probes, kind, nb_bits,
+                                     bucket)
     vals, found = lookup.probe(local_table, r_hi, r_lo, valid=r_valid,
                                default=default)
 
@@ -158,7 +174,7 @@ def make_sharded_pipeline(dtax, stable: ShardedTable, config, mesh: Mesh,
         taxa, _found = sharded_probe_local(
             hi, lo, wvalid, shard_rows,
             stable.max_probes, axis, default=0,
-            kind=stable.kind, nb_bits=stable.nb_bits)
+            kind=stable.kind, nb_bits=stable.nb_bits, bucket=stable.bucket)
         taxa = jnp.where(wvalid, taxa, 0)
         W = taxa.shape[-1]
         nk = jnp.maximum(plens - (config.k - 1), 0)
@@ -193,7 +209,7 @@ def make_sharded_pipeline(dtax, stable: ShardedTable, config, mesh: Mesh,
     )
 
     @jax.jit
-    def step(dna, lengths):
-        return fn(dna, lengths, stable.rows)
+    def step(dna, lengths, rows):
+        return fn(dna, lengths, rows)
 
-    return step
+    return lambda dna, lengths: step(dna, lengths, stable.rows)

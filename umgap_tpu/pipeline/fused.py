@@ -106,10 +106,14 @@ def pipeline_step(dna, lengths, dtax: devagg.DeviceTaxonomy,
 
 def make_pipeline(dtax: devagg.DeviceTaxonomy, dtable: lookup.DeviceTable,
                   config: PipelineConfig, euler=None):
-    """Jitted (dna, lengths) -> per-read taxon function."""
+    """Jitted (dna, lengths) -> per-read taxon function.
+
+    The table/taxonomy pytrees are jit *arguments* (device-resident),
+    not closure constants — closed-over arrays would be embedded in the
+    compiled program."""
 
     @jax.jit
-    def step(dna, lengths):
+    def step(dna, lengths, dtable, dtax, euler):
         return pipeline_step(dna, lengths, dtax, dtable, config, euler)
 
-    return step
+    return lambda dna, lengths: step(dna, lengths, dtable, dtax, euler)

@@ -95,7 +95,7 @@ def make_tryptic_pipeline(dtax: devagg.DeviceTaxonomy,
     """Jitted (hi, lo, valid) -> per-read taxon (probe + taxa2agg)."""
 
     @jax.jit
-    def step(hi, lo, valid):
+    def step(hi, lo, valid, dtable, dtax):
         taxa, found = lookup.probe(dtable, hi, lo, valid=valid, default=0)
         hits = jnp.where(found, taxa, 0)
         utaxa, ucounts, uvalid = devagg.dedup_counts(
@@ -107,7 +107,7 @@ def make_tryptic_pipeline(dtax: devagg.DeviceTaxonomy,
         snapped = devagg.snap_batch(dtax.snap_valid, agg, default=0)
         return jnp.where(uvalid.any(axis=-1), snapped, 1).astype(jnp.int32)
 
-    return step
+    return lambda hi, lo, valid: step(hi, lo, valid, dtable, dtax)
 
 
 def analyse_tryptic_groups(groups, tax, table, config: PipelineConfig,
