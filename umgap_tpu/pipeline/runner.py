@@ -92,10 +92,23 @@ class Analyser:
         for h, t in zip(headers, taxa[:n]):
             yield h, int(t)
 
-    def analyse_arrays(self, headers, dna: np.ndarray, lens: np.ndarray):
-        """Pre-encoded groups: dna (N, E, L), lens (N, E)."""
+    def analyse_arrays(self, headers, dna: np.ndarray, lens: np.ndarray,
+                       depth: int = 2):
+        """Pre-encoded groups: dna (N, E, L), lens (N, E).
+
+        Keeps ``depth`` batches in flight so host encode/transfer
+        overlaps device compute (the runtime is asynchronous; outputs
+        are only materialized when popped)."""
         N = len(headers)
         B = self.batch_size
+        inflight: List = []
+
+        def emit(item):
+            start, n, out = item
+            taxa = np.asarray(out)
+            for h, t in zip(headers[start : start + n], taxa[:n]):
+                yield h, int(t)
+
         for start in range(0, N, B):
             nd = dna[start : start + B]
             nl = lens[start : start + B]
@@ -104,9 +117,11 @@ class Analyser:
                 nd = np.pad(nd, ((0, B - n), (0, 0), (0, 0)),
                             constant_values=encoding.DNA_N)
                 nl = np.pad(nl, ((0, B - n), (0, 0)))
-            taxa = np.asarray(self.step(nd, nl))
-            for h, t in zip(headers[start : start + n], taxa[:n]):
-                yield h, int(t)
+            inflight.append((start, n, self.step(nd, nl)))
+            if len(inflight) > depth:
+                yield from emit(inflight.pop(0))
+        for item in inflight:
+            yield from emit(item)
 
 
 def analyse_paired(fastq1: str, fastq2: str, tax: Taxonomy, table,
