@@ -40,7 +40,7 @@ def main():
 
     from umgap_tpu import ranks
     from umgap_tpu.agg import device as devagg
-    from umgap_tpu.index.table import KmerTable
+    from umgap_tpu.index.table import build_kmer_table
     from umgap_tpu.ops import lookup
     from umgap_tpu.pipeline import PRESETS, make_pipeline
     from umgap_tpu.taxonomy import Taxon, Taxonomy
@@ -62,7 +62,7 @@ def main():
     packed = np.unique(rng.integers(0, 2 ** 45, size=int(1.2 * n_keys),
                                     dtype=np.uint64))[:n_keys]
     values = rng.integers(2, n_tax, size=n_keys).astype(np.int32)
-    table = KmerTable.build(packed, values, k=9)
+    table = build_kmer_table(packed, values, k=9)
     dtable = lookup.DeviceTable.from_host(table)
 
     # --- reads: distinct random batches of 100 bp pairs --------------- #

@@ -204,3 +204,61 @@ def test_device_probe_valid_mask():
     )
     assert np.asarray(vals).tolist() == [42, 0]
     assert np.asarray(found).tolist() == [True, False]
+
+
+def test_cuckoo_table_roundtrip(tmp_path):
+    import jax.numpy as jnp
+
+    from umgap_tpu.index.table import CuckooKmerTable, build_kmer_table, load_table
+
+    rng = np.random.default_rng(7)
+    n = 40_000  # dense enough to exercise the eviction tail
+    packed = np.unique(rng.integers(0, 2 ** 45, size=2 * n).astype(np.uint64))[:n]
+    values = rng.integers(1, 2 ** 30, size=n).astype(np.int32)
+    t = build_kmer_table(packed, values, k=9)
+    assert isinstance(t, CuckooKmerTable)
+    hi, lo = kmers.split_packed(packed)
+    got, found = t.probe_host(hi, lo)
+    assert found.all() and (got == values).all()
+    # misses are exact (no false positives possible)
+    key_set = set(packed.tolist())
+    miss = (packed + np.uint64(1)) % np.uint64(2 ** 45)
+    hi2, lo2 = kmers.split_packed(miss)
+    got2, found2 = t.probe_host(hi2, lo2, default=0)
+    for m, f, g in zip(miss.tolist(), found2, got2):
+        if m not in key_set:
+            assert not f and g == 0
+    # device probe parity
+    dt = lookup.DeviceTable.from_host(t)
+    dv, df = lookup.probe(dt, jnp.asarray(hi), jnp.asarray(lo))
+    assert (np.asarray(dv) == values).all() and np.asarray(df).all()
+    dv2, df2 = lookup.probe(dt, jnp.asarray(hi2), jnp.asarray(lo2))
+    assert (np.asarray(dv2) == got2).all() and (np.asarray(df2) == found2).all()
+    # items() reconstructs every key exactly
+    pk, pv = t.items()
+    assert set(pk.tolist()) == key_set
+    vals_by_key = dict(zip(packed.tolist(), values.tolist()))
+    assert all(vals_by_key[k] == v for k, v in zip(pk.tolist(), pv.tolist()))
+    # save/load
+    p = tmp_path / "c.npz"
+    t.save(p)
+    t2 = load_table(p)
+    assert isinstance(t2, CuckooKmerTable) and t2.k == 9
+    got3, _ = t2.probe_host(hi, lo)
+    assert (got3 == values).all()
+
+
+def test_cuckoo_valid_mask():
+    import jax.numpy as jnp
+
+    from umgap_tpu.index.table import CuckooKmerTable
+
+    packed = np.array([987654321], dtype=np.uint64)
+    t = CuckooKmerTable.build(packed, np.array([42], dtype=np.int32), k=9)
+    dt = lookup.DeviceTable.from_host(t)
+    hi, lo = kmers.split_packed(np.array([987654321, 987654321], np.uint64))
+    valid = jnp.asarray(np.array([True, False]))
+    vals, found = lookup.probe(dt, jnp.asarray(hi), jnp.asarray(lo),
+                               valid=valid, default=0)
+    assert np.asarray(vals).tolist() == [42, 0]
+    assert np.asarray(found).tolist() == [True, False]

@@ -194,9 +194,9 @@ def cmd_seedextend(args, stdin, stdout):
 def _lookup_peptides(table, peptides: List[str], default_zero: bool):
     """Look up full peptides in either table kind. Returns list of
     Optional[int] (None = miss to be dropped)."""
-    from .index.table import KmerTable
+    from .index.table import CuckooKmerTable, KmerTable
 
-    if isinstance(table, KmerTable):
+    if isinstance(table, (KmerTable, CuckooKmerTable)):
         k = table.k
         out = []
         for p in peptides:
@@ -227,9 +227,9 @@ def cmd_pept2lca(args, stdin, stdout):
 
 
 def _stream_prot2kmer2lca(table, k: int, default_zero: bool, stdin, stdout):
-    from .index.table import KmerTable
+    from .index.table import CuckooKmerTable, KmerTable
 
-    if not isinstance(table, KmerTable):
+    if not isinstance(table, (KmerTable, CuckooKmerTable)):
         raise CliError("prot2kmer2lca requires a k-mer index")
     for rec in fasta.read_records(stdin, unwrap=True):
         prot = rec.sequence[0] if rec.sequence else ""
@@ -527,10 +527,10 @@ def cmd_buildindex(args, stdin, stdout):
 
 
 def cmd_printindex(args, stdin, stdout):
-    from .index.table import KmerTable
+    from .index.table import CuckooKmerTable, KmerTable
 
     table = _load_table(args.fst_file)
-    if isinstance(table, KmerTable):
+    if isinstance(table, (KmerTable, CuckooKmerTable)):
         packed, values = table.items()
         order = np.argsort(packed)
         for p, v in zip(packed[order], values[order]):

@@ -19,7 +19,7 @@ from .. import ranks
 from ..agg.host import TreeMix, count as agg_count, AggError
 from ..ops import encoding, kmers
 from ..taxonomy import NONE, Taxonomy
-from .table import KmerTable, PeptideTable
+from .table import KmerTable, PeptideTable, build_kmer_table
 
 JOINKMERS_FACTOR = 0.95
 
@@ -104,11 +104,10 @@ def build_kmer_index_fast(tsv: bytes, tax: Taxonomy, k: int = kmers.DEFAULT_K,
 
     from ..agg import device as devagg
     from ..io import native
-    from .table import KmerTable
 
     packed, tids = native.split_kmers_tsv(tsv, k=k)
     if len(packed) == 0:
-        return KmerTable.build(packed, np.zeros(0, np.int32), k=k)
+        return build_kmer_table(packed, np.zeros(0, np.int32), k=k)
     order = np.argsort(packed, kind="stable")
     packed = packed[order]
     tids = tids[order]
@@ -150,7 +149,7 @@ def build_kmer_index_fast(tsv: bytes, tax: Taxonomy, k: int = kmers.DEFAULT_K,
         a = np.asarray(agg)[:n]
         values[start : start + n] = ranksnap[np.clip(a, 0, tax.size - 1)]
         ok[start : start + n] = nonempty
-    return KmerTable.build(keys[ok], values[ok], k=k)
+    return build_kmer_table(keys[ok], values[ok], k=k)
 
 
 def build_table(rows: Iterable[Tuple[str, int]], kind: str = "auto"):
@@ -172,10 +171,10 @@ def build_table(rows: Iterable[Tuple[str, int]], kind: str = "auto"):
         kind = "kmer" if len(lens) == 1 and keys and max(lens) <= 10 else "peptide"
     if kind == "kmer":
         if not keys:
-            return KmerTable.build(np.zeros(0, np.uint64), vals, k=kmers.DEFAULT_K)
+            return build_kmer_table(np.zeros(0, np.uint64), vals, k=kmers.DEFAULT_K)
         k = len(keys[0])
         packed = np.zeros(len(keys), dtype=np.uint64)
         for i, s in enumerate(keys):
             packed[i] = kmers.pack_peptide_host(encoding.encode_aa(s))
-        return KmerTable.build(packed, vals, k=k)
+        return build_kmer_table(packed, vals, k=k)
     return PeptideTable.build(keys, vals)

@@ -43,6 +43,11 @@ _C1 = np.uint32(0x9E3779B1)
 _C2 = np.uint32(0x85EBCA77)
 _C3 = np.uint32(0xC2B2AE3D)
 
+# independent constants for the cuckoo table's second hash
+_D1 = np.uint32(0x27D4EB2F)
+_D2 = np.uint32(0x165667B1)
+_D3 = np.uint32(0x9E3779F9)
+
 _FNV_OFFSET = np.uint32(0x811C9DC5)
 _FNV_PRIME = np.uint32(0x01000193)
 _FNV_OFFSET2 = np.uint32(0xCBF29CE4)
@@ -84,6 +89,26 @@ def unmix_key(mhi, mlo):
     l = l ^ (_mx(h + _C3) & MASK25)
     h = h ^ (_mx(l + _C2) & MASK20)
     l = l ^ (_mx(h + _C1) & MASK25)
+    return h, l
+
+
+def mix_key2(hi, lo):
+    """Second independent invertible whitening (cuckoo hash 2)."""
+    h = hi.astype(np.uint32)
+    l = lo.astype(np.uint32)
+    l = l ^ (_mx(h + _D1) & MASK25)
+    h = h ^ (_mx(l + _D2) & MASK20)
+    l = l ^ (_mx(h + _D3) & MASK25)
+    return h, l
+
+
+def unmix_key2(mhi, mlo):
+    """Inverse of :func:`mix_key2`."""
+    h = mhi.astype(np.uint32)
+    l = mlo.astype(np.uint32)
+    l = l ^ (_mx(h + _D3) & MASK25)
+    h = h ^ (_mx(l + _D2) & MASK20)
+    l = l ^ (_mx(h + _D1) & MASK25)
     return h, l
 
 
@@ -330,6 +355,228 @@ class KmerTable:
 
 
 # ---------------------------------------------------------------------- #
+# CuckooKmerTable (quotiented two-half cuckoo, exact, minimal gather)
+# ---------------------------------------------------------------------- #
+
+class CuckooKmerTable:
+    """Fixed-k packed-kmer cuckoo table: the probe-optimal layout.
+
+    TPU gathers cost ~1 element/cycle, so lookup throughput is set by
+    *gathered elements per query*. The bucketized quotient table reads
+    2 rounds x (8 remainders + 8 values) = 32 int32 per query; this
+    layout reads 2 slots x (remainder, value) = 4 — two independent
+    invertible Feistel whitenings (``mix_key`` / ``mix_key2``) each own
+    one half of the table, a key is stored in exactly one slot of one
+    half, and the half disambiguates which mix to invert, so the full
+    key is always recoverable (exact, like the reference's FST —
+    /root/reference/src/commands/buildindex.rs:38-46; no false
+    positives possible).
+    """
+
+    kind = "cuckoo"
+
+    MAX_KICKS = 500
+
+    def __init__(self, rem, values, n: int, meta=None):
+        self.rem = rem          # (cap,) int32, EMPTY = -1
+        self.values = values    # (cap,) int32
+        self.max_probes = 1     # interface parity: always 2 probes
+        self.n = int(n)
+        self.meta = dict(meta or {})
+
+    @property
+    def capacity(self) -> int:
+        return len(self.values)
+
+    @property
+    def half(self) -> int:
+        return self.capacity // 2
+
+    @property
+    def s_bits(self) -> int:
+        return int(self.meta["s_bits"])
+
+    @property
+    def k(self) -> int:
+        return self.meta.get("k", kmers.DEFAULT_K)
+
+    # -- hashing --------------------------------------------------------- #
+
+    @staticmethod
+    def _slot_rem(hi, lo, s_bits: int, which: int):
+        """(slot-in-half, remainder) under hash ``which`` (0 or 1)."""
+        mhi, mlo = (mix_key if which == 0 else mix_key2)(hi, lo)
+        slot = (mlo & np.uint32((1 << s_bits) - 1)).astype(np.int64)
+        rem = ((mlo >> np.uint32(s_bits))
+               | (mhi << np.uint32(25 - s_bits))).astype(np.int32)
+        return slot, rem
+
+    # -- construction ----------------------------------------------------- #
+
+    @classmethod
+    def build(cls, packed: np.ndarray, values: np.ndarray, k: int,
+              load_factor: float = 0.4,
+              capacity: int | None = None) -> "CuckooKmerTable":
+        packed = packed.astype(np.uint64)
+        values = np.asarray(values, dtype=np.int32)
+        cap = capacity or _pow2_capacity(len(values), load_factor,
+                                         2 << MIN_NB_BITS)
+        while True:
+            try:
+                return cls._build_at(packed, values, k, cap)
+            except RuntimeError:
+                if capacity is not None:
+                    raise
+                cap *= 2
+
+    @classmethod
+    def _build_at(cls, packed, values, k: int, cap: int) -> "CuckooKmerTable":
+        half = cap // 2
+        s_bits = int(np.log2(max(half, 1)))
+        if s_bits > MAX_NB_BITS:
+            raise ValueError("table too large for 25-bit slot index")
+        n = len(values)
+        hi, lo = kmers.split_packed(packed)
+        s0, _ = cls._slot_rem(hi, lo, s_bits, 0)
+        s1, _ = cls._slot_rem(hi, lo, s_bits, 1)
+        s1 = s1 + half
+
+        occ_key = np.full(cap, np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
+        occ_val = np.zeros(cap, dtype=np.int32)
+        FREE = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+        # vectorized greedy: first hash, then second (first key per free
+        # slot wins; the rest go to the sequential eviction tail)
+        pending = np.arange(n)
+        for slots_all in (s0, s1):
+            if not len(pending):
+                break
+            slots = slots_all[pending]
+            uniq, first_idx = np.unique(slots, return_index=True)
+            free = occ_key[uniq] == FREE
+            winners = pending[first_idx[free]]
+            occ_key[slots_all[winners]] = packed[winners]
+            occ_val[slots_all[winners]] = values[winners]
+            placed = np.zeros(len(pending), dtype=bool)
+            placed[first_idx[free]] = True
+            pending = pending[~placed]
+
+        # sequential cuckoo eviction for the tail
+        for i in pending:
+            key = packed[i]
+            val = int(values[i])
+            slot = int(s0[i])
+            for _kick in range(cls.MAX_KICKS):
+                if occ_key[slot] == FREE:
+                    occ_key[slot] = key
+                    occ_val[slot] = val
+                    break
+                # displace the occupant and move it to its alternate slot
+                key, occ_key[slot] = occ_key[slot], key
+                val, occ_val[slot] = int(occ_val[slot]), val
+                khi, klo = kmers.split_packed(np.array([key], np.uint64))
+                a0, _ = cls._slot_rem(khi, klo, s_bits, 0)
+                a1, _ = cls._slot_rem(khi, klo, s_bits, 1)
+                slot = int(a1[0]) + half if int(a0[0]) == slot else int(a0[0])
+            else:
+                raise RuntimeError("cuckoo insertion failed; grow the table")
+
+        # quotient-compress occupied slots
+        occ = occ_key != FREE
+        rem_arr = np.full(cap, EMPTY, dtype=np.int32)
+        val_arr = np.zeros(cap, dtype=np.int32)
+        idx = np.nonzero(occ)[0]
+        khi, klo = kmers.split_packed(occ_key[idx])
+        in_half1 = idx >= half
+        for which, sel in ((0, ~in_half1), (1, in_half1)):
+            if not sel.any():
+                continue
+            slot, rem = cls._slot_rem(khi[sel], klo[sel], s_bits, which)
+            expect = slot + (half if which else 0)
+            if not np.array_equal(expect, idx[sel]):
+                raise AssertionError("cuckoo slot bookkeeping corrupted")
+            rem_arr[idx[sel]] = rem
+        val_arr[idx] = occ_val[idx]
+        return cls(rem_arr, val_arr, n, {"k": k, "s_bits": s_bits})
+
+    # -- probing ----------------------------------------------------------- #
+
+    def probe_host(self, hi: np.ndarray, lo: np.ndarray,
+                   default: int = 0) -> tuple[np.ndarray, np.ndarray]:
+        hi = np.asarray(hi, dtype=np.int32)
+        lo = np.asarray(lo, dtype=np.int32)
+        half = self.half
+        s_bits = self.s_bits
+        s0, r0 = self._slot_rem(hi, lo, s_bits, 0)
+        s1, r1 = self._slot_rem(hi, lo, s_bits, 1)
+        s1 = s1 + half
+        hit0 = self.rem[s0] == r0
+        hit1 = self.rem[s1] == r1
+        out = np.where(hit0, self.values[s0],
+                       np.where(hit1, self.values[s1], default)).astype(np.int32)
+        return out, hit0 | hit1
+
+    def lookup_host(self, peptides_codes, default: int = 0):
+        """Per-peptide k-mer lookups (host oracle)."""
+        results = []
+        for codes in peptides_codes:
+            packed = kmers.pack_kmers_host(codes, self.k)
+            hi, lo = kmers.split_packed(packed)
+            vals, found = self.probe_host(hi, lo, default)
+            results.append((vals, found))
+        return results
+
+    def items(self):
+        """(packed_key, value) pairs in slot order (for printindex)."""
+        half = self.half
+        s_bits = self.s_bits
+        occ = np.nonzero(self.rem != EMPTY)[0]
+        rem = self.rem[occ].astype(np.uint32)
+        slot = np.where(occ < half, occ, occ - half).astype(np.uint32)
+        mlo = (slot | ((rem & np.uint32((1 << (25 - s_bits)) - 1))
+                       << np.uint32(s_bits))) & MASK25
+        mhi = (rem >> np.uint32(25 - s_bits)) & MASK20
+        h0, l0 = unmix_key(mhi, mlo)
+        h1, l1 = unmix_key2(mhi, mlo)
+        hi = np.where(occ < half, h0, h1)
+        lo = np.where(occ < half, l0, l1)
+        packed = kmers.join_packed(hi.astype(np.int32), lo.astype(np.int32))
+        return packed, self.values[occ]
+
+    # -- serialization ------------------------------------------------------ #
+
+    def save(self, path):
+        np.savez_compressed(
+            path,
+            kind=np.bytes_(self.kind),
+            rem=self.rem,
+            values=self.values,
+            n=np.int64(self.n),
+            **{f"meta_{k}": np.int64(v) for k, v in self.meta.items()},
+        )
+
+    @staticmethod
+    def load(path):
+        return load_table(path)
+
+
+def build_kmer_table(packed: np.ndarray, values: np.ndarray, k: int,
+                     layout: str = "cuckoo", **kw):
+    """Build a k-mer table in the requested layout.
+
+    ``cuckoo`` (default) minimizes gathered elements per probe (fastest
+    on device); ``bucket8``/``bucket4`` are the row-bucketized layouts
+    (denser packing per probe *round*, more elements gathered)."""
+    if layout == "cuckoo":
+        return CuckooKmerTable.build(packed, values, k, **kw)
+    if layout in ("bucket8", "bucket"):
+        return KmerTable.build(packed, values, k, **kw)
+    if layout == "bucket4":
+        return KmerTable.build(packed, values, k, bucket=4, **kw)
+    raise ValueError(f"unknown k-mer table layout: {layout}")
+
+
+# ---------------------------------------------------------------------- #
 # PeptideTable (fingerprinted, variable-length keys)
 # ---------------------------------------------------------------------- #
 
@@ -445,6 +692,8 @@ def load_table(path):
     if kind == "kmer":
         return KmerTable(z["rem"], z["values"], int(z["max_probes"]),
                          int(z["n"]), meta)
+    if kind == "cuckoo":
+        return CuckooKmerTable(z["rem"], z["values"], int(z["n"]), meta)
     t = PeptideTable(z["key_hi"], z["key_lo"], z["values"],
                      int(z["max_probes"]), int(z["n"]), meta)
     if "raw_keys" in z.files:

@@ -26,6 +26,7 @@ from ..index.table import (
     _C2,
     _C3,
     mix_key,
+    mix_key2,
 )
 
 
@@ -62,7 +63,12 @@ class DeviceTable:
     def from_host(cls, table, device=None) -> "DeviceTable":
         rows = pack_rows(table)
         put = (lambda x: jax.device_put(x, device)) if device else jnp.asarray
-        nb_bits = table.nb_bits if table.kind == "kmer" else 0
+        if table.kind == "kmer":
+            nb_bits = table.nb_bits
+        elif table.kind == "cuckoo":
+            nb_bits = table.s_bits
+        else:
+            nb_bits = 0
         bucket = getattr(table, "bucket", BUCKET)
         return cls(put(rows), int(table.max_probes), table.kind, nb_bits,
                    bucket)
@@ -70,6 +76,12 @@ class DeviceTable:
 
 def pack_rows(table) -> np.ndarray:
     """Concatenate a host table's slot arrays into per-bucket rows."""
+    if table.kind == "cuckoo":
+        cap = table.capacity
+        return np.stack(
+            [table.rem.astype(np.int32), table.values.astype(np.int32)],
+            axis=1,
+        )  # (cap, 2)
     nb = table.n_buckets
     bk = getattr(table, "bucket", BUCKET)
     if table.kind == "kmer":
@@ -106,11 +118,35 @@ def probe(table: DeviceTable, hi: jax.Array, lo: jax.Array,
       valid: optional bool mask; invalid lanes return ``default``/False.
       default: value for misses (0 reproduces the reference's `-o`).
     """
-    nb = table.n_buckets
     live = jnp.ones(hi.shape, dtype=bool) if valid is None else valid
     out = jnp.full(hi.shape, default, dtype=jnp.int32)
     found = jnp.zeros(hi.shape, dtype=bool)
 
+    if table.kind == "cuckoo":
+        # two-half quotient cuckoo: 2 gathers x 2 int32 per query (the
+        # minimal exact probe; see index.table.CuckooKmerTable)
+        s_bits = table.nb_bits
+        half = jnp.int32(1 << s_bits)
+        half_mask = np.uint32((1 << s_bits) - 1)
+
+        def slot_rem(mixer):
+            mhi, mlo = mixer(hi, lo)
+            slot = (mlo & half_mask).astype(jnp.int32)
+            rem = ((mlo >> np.uint32(s_bits))
+                   | (mhi << np.uint32(25 - s_bits))).astype(jnp.int32)
+            return slot, rem
+
+        s0, r0 = slot_rem(mix_key)
+        s1, r1 = slot_rem(mix_key2)
+        row0 = jnp.take(table.rows, s0, axis=0)         # (..., 2)
+        row1 = jnp.take(table.rows, s1 + half, axis=0)  # (..., 2)
+        hit0 = (row0[..., 0] == r0) & live
+        hit1 = (row1[..., 0] == r1) & live
+        out = jnp.where(hit0, row0[..., 1],
+                        jnp.where(hit1, row1[..., 1], out))
+        return out, hit0 | hit1
+
+    nb = table.n_buckets
     if table.kind == "kmer":
         nb_bits = table.nb_bits
         mhi, mlo = mix_key(hi, lo)

@@ -25,6 +25,41 @@ from .encoding import TranslationTable
 FRAME_NAMES = ("1", "2", "3", "1R", "2R", "3R")
 
 
+def _bitplane_constants(tab: np.ndarray, out_bits: int):
+    """Pack a small host lookup table (len <= 128) into per-output-bit
+    uint32 word constants for gather-free device lookups."""
+    n = len(tab)
+    n_words = (n + 31) // 32
+    planes = []
+    for b in range(out_bits):
+        bits = (tab.astype(np.uint64) >> b) & 1
+        words = []
+        for w in range(n_words):
+            v = 0
+            for i in range(min(32, n - 32 * w)):
+                v |= int(bits[32 * w + i]) << i
+            words.append(np.uint32(v))
+        planes.append(words)
+    return planes
+
+
+def _bitplane_lookup(idx: jax.Array, planes, out_bits: int) -> jax.Array:
+    """tab[idx] via bit-plane constants + variable shifts (pure VPU
+    arithmetic; TPU gathers cost ~1 element/cycle, this costs ~10 ops
+    per output bit with no memory traffic)."""
+    w = (idx >> 5).astype(jnp.uint32)
+    bitpos = (idx & 31).astype(jnp.uint32)
+    out = jnp.zeros(idx.shape, dtype=jnp.uint32)
+    for b in range(out_bits):
+        c = planes[b]
+        word = jnp.full(idx.shape, c[0], dtype=jnp.uint32)
+        for wi in range(1, len(c)):
+            word = jnp.where(w == np.uint32(wi), c[wi], word)
+        bit = (word >> bitpos) & np.uint32(1)
+        out = out | (bit << np.uint32(b))
+    return out
+
+
 # ---------------------------------------------------------------------- #
 # Host (parity oracle / CLI path)
 # ---------------------------------------------------------------------- #
@@ -63,50 +98,68 @@ def translate6_batch(dna: jax.Array, lengths: jax.Array, table: TranslationTable
       aa: (B, 6, P) uint8 AA codes with P = L // 3; positions beyond the
         frame's peptide length are AA_PAD.
       pep_lengths: (B, 6) int32 number of codons per frame.
+
+    TPU notes: gathers cost ~1 element/cycle on the VPU, so every lookup
+    here is recast as cheaper primitives — the complement is arithmetic,
+    per-frame codon extraction is a strided ``lax.slice`` (a relayout,
+    not a gather), and the 125-entry codon table is applied bit-plane
+    arithmetically (:func:`_bitplane_lookup`). The only remaining gather
+    is the per-read reversal (one ``take_along_axis`` over the batch,
+    shared by the three reverse frames).
     """
     B, L = dna.shape
     P = L // 3
     lengths = lengths.astype(jnp.int32)
 
-    aa_tab = jnp.asarray(table.aa, dtype=jnp.uint8)
-    start_tab = jnp.asarray(table.start)
-    comp = jnp.asarray(encoding.DNA_COMPLEMENT, dtype=jnp.uint8)
+    aa_planes = _bitplane_constants(table.aa, 5)
+    start_planes = _bitplane_constants(table.start.astype(np.uint8), 1)
+
+    d = dna.astype(jnp.int32)
+    pos = jnp.arange(L, dtype=jnp.int32)[None, :]  # (1, L)
 
     # Reverse-complement with per-read length: rc[i] = comp(dna[len-1-i]).
-    pos = jnp.arange(L, dtype=jnp.int32)[None, :]  # (1, L)
-    rc_idx = jnp.clip(lengths[:, None] - 1 - pos, 0, L - 1)
-    rc = comp[jnp.take_along_axis(dna, rc_idx, axis=1)]
-    rc = jnp.where(pos < lengths[:, None], rc, jnp.uint8(encoding.DNA_N))
-    fwd = dna
+    # A static flip gives e[j] = d[L-1-j]; the per-read part is then a
+    # left-shift by s = L - len. A take_along_axis gather costs ~13 ns
+    # per element here; instead express the shift as a fused one-hot
+    # contraction (compare + multiply-reduce, DNA codes < 5 are exact in
+    # bf16) — no gathers at all.
+    fwd = jnp.where(d <= 4, d, jnp.int32(encoding.DNA_N))  # sanitize padding
+    e = jnp.flip(fwd, axis=1)
+    e = jnp.where(e < 4, 3 - e, 4).astype(jnp.bfloat16)  # complement
+    shift = (jnp.int32(L) - lengths).reshape(B, 1, 1)
+    i_idx = jnp.arange(L, dtype=jnp.int32).reshape(1, L, 1)
+    j_idx = jnp.arange(L, dtype=jnp.int32).reshape(1, 1, L)
+    sel = (j_idx == i_idx + shift).astype(jnp.bfloat16)  # (B, L, L)
+    rc = jnp.einsum("bij,bj->bi", sel, e).astype(jnp.int32)
+    rc = jnp.where(pos < lengths[:, None], rc, jnp.int32(encoding.DNA_N))
 
-    # codon start positions per frame offset f: f, f+3, ...
-    p = jnp.arange(P, dtype=jnp.int32)
+    # pad so strided codon slices stay in range for every frame offset
+    padn = ((0, 0), (0, 3))
+    fwd_p = jnp.pad(fwd, padn, constant_values=encoding.DNA_N)
+    rc_p = jnp.pad(rc, padn, constant_values=encoding.DNA_N)
 
-    def frame_translate(strand, offset):
-        starts = offset + 3 * p  # (P,)
-        idx0 = jnp.clip(starts, 0, L - 1)
-        idx1 = jnp.clip(starts + 1, 0, L - 1)
-        idx2 = jnp.clip(starts + 2, 0, L - 1)
-        c0 = jnp.take(strand, idx0, axis=1).astype(jnp.int32)
-        c1 = jnp.take(strand, idx1, axis=1).astype(jnp.int32)
-        c2 = jnp.take(strand, idx2, axis=1).astype(jnp.int32)
-        codon = c0 * 25 + c1 * 5 + c2
-        aa = aa_tab[codon]
+    def frame_translate(strand_p, offset):
+        def base(j):  # strided slice: codon base j of every codon
+            start = offset + j
+            return jax.lax.slice(strand_p, (0, start),
+                                 (B, start + 3 * (P - 1) + 1), (1, 3))
+
+        codon = base(0) * 25 + base(1) * 5 + base(2)  # (B, P), < 125
+        aa = _bitplane_lookup(codon, aa_planes, 5).astype(jnp.uint8)
         if methionine:
-            aa = jnp.where(start_tab[codon], jnp.uint8(encoding.AA_FROM_BYTE[ord("M")]), aa)
+            is_start = _bitplane_lookup(codon, start_planes, 1) > 0
+            aa = jnp.where(is_start,
+                           jnp.uint8(encoding.AA_FROM_BYTE[ord("M")]), aa)
         ncod = jnp.maximum(lengths - offset, 0) // 3  # (B,)
-        valid = p[None, :] < ncod[:, None]
+        valid = jnp.arange(P, dtype=jnp.int32)[None, :] < ncod[:, None]
         aa = jnp.where(valid, aa, jnp.uint8(encoding.AA_PAD))
         return aa, ncod
 
     frames = []
     plens = []
-    for offset in range(3):
-        aa, n = frame_translate(fwd, offset)
-        frames.append(aa)
-        plens.append(n)
-    for offset in range(3):
-        aa, n = frame_translate(rc, offset)
-        frames.append(aa)
-        plens.append(n)
+    for strand_p in (fwd_p, rc_p):
+        for offset in range(3):
+            aa, n = frame_translate(strand_p, offset)
+            frames.append(aa)
+            plens.append(n)
     return jnp.stack(frames, axis=1), jnp.stack(plens, axis=1)

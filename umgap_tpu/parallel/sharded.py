@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..index.table import KmerTable, hash32
+from ..index.table import KmerTable, build_kmer_table, hash32
 from ..ops import kmers as kmerops
 from ..ops import lookup
 
@@ -33,10 +33,11 @@ def owner_of(hi, lo, n_shards: int):
 
 
 def build_sharded_tables(packed: np.ndarray, values: np.ndarray, k: int,
-                         n_shards: int, load_factor: float = 0.45):
+                         n_shards: int, load_factor: float = 0.4,
+                         layout: str = "cuckoo"):
     """Split keys by owner and build per-shard tables with one common
     capacity (so the stacked arrays are rectangular). Grows the common
-    capacity until every shard satisfies the probe-distance limit."""
+    capacity until every shard builds within its probe limits."""
     from ..index.table import BUCKET, MIN_NB_BITS, _pow2_capacity
 
     packed = packed.astype(np.uint64)
@@ -48,8 +49,8 @@ def build_sharded_tables(packed: np.ndarray, values: np.ndarray, k: int,
     while True:
         try:
             shards = [
-                KmerTable.build(packed[owner == s], values[owner == s], k,
-                                capacity=cap)
+                build_kmer_table(packed[owner == s], values[owner == s], k,
+                                 layout=layout, capacity=cap)
                 for s in range(n_shards)
             ]
             return shards
@@ -84,13 +85,20 @@ class ShardedTable:
         n = len(shards)
         sharding = NamedSharding(mesh, P(axis, None, None))
         stacked = np.stack([lookup.pack_rows(t) for t in shards])
+        t0 = shards[0]
+        if t0.kind == "kmer":
+            nb_bits = t0.nb_bits
+        elif t0.kind == "cuckoo":
+            nb_bits = t0.s_bits
+        else:
+            nb_bits = 0
         return cls(
             rows=jax.device_put(stacked, sharding),
             max_probes=max(t.max_probes for t in shards),
             n_shards=n,
-            kind=shards[0].kind,
-            nb_bits=shards[0].nb_bits if shards[0].kind == "kmer" else 0,
-            bucket=shards[0].bucket,
+            kind=t0.kind,
+            nb_bits=nb_bits,
+            bucket=getattr(t0, "bucket", 8),
         )
 
 
