@@ -65,26 +65,33 @@ def main():
     table = build_kmer_table(packed, values, k=9)
     dtable = lookup.DeviceTable.from_host(table)
 
-    # --- reads: distinct random batches of 100 bp pairs --------------- #
+    # --- reads: distinct random batches of 100 bp pairs, on the 4-bit
+    # packed wire format the native parser emits ----------------------- #
+    from umgap_tpu.ops import encoding as enc
+
     B, E, L = 4096, 2, 100
     n_batches = 8
     batches = [
-        (rng.integers(0, 4, size=(B, E, L)).astype(np.uint8),
+        (enc.pack_dna4(rng.integers(0, 4, size=(B, E, L)).astype(np.uint8)),
          np.full((B, E), L, dtype=np.int32))
         for _ in range(n_batches)
     ]
 
     config = PRESETS["high-sensitivity"]._replace(k_max=128)
-    step = make_pipeline(dtax, dtable, config)
+    step = make_pipeline(dtax, dtable, config, wire="packed4")
 
-    np.asarray(step(*batches[0]))  # compile + warmup
+    np.asarray(step(*batches[0], L))  # compile + warmup
 
     iters = 16
     depth = 2
+    put = lambda b: jax.tree_util.tree_map(jax.device_put, b)
     t0 = time.perf_counter()
     outs = []
+    nxt = put(batches[0])  # H2D stays on the measured path, overlapped
     for i in range(iters):
-        outs.append(step(*batches[i % n_batches]))
+        cur = nxt
+        nxt = put(batches[(i + 1) % n_batches])  # async, overlaps compute
+        outs.append(step(*cur, L))
         if len(outs) > depth:
             np.asarray(outs.pop(0))
     for o in outs:

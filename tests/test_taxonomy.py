@@ -116,3 +116,24 @@ def test_pairwise_lca():
     assert tax.pairwise_lca(185751, 185752) == 12884
     assert tax.pairwise_lca(2, 10239) == 1
     assert tax.pairwise_lca(12884, 185751) == 12884
+
+
+def test_utils_logging_and_timer(monkeypatch, capsys):
+    from umgap_tpu.utils import StageTimer, debug, device_trace, verbose
+
+    monkeypatch.setenv("VERBOSE", "1")
+    monkeypatch.delenv("DEBUG", raising=False)
+    verbose("hello")
+    debug("hidden")
+    err = capsys.readouterr().err
+    assert "hello" in err and "hidden" not in err
+
+    t = StageTimer()
+    with t.stage("a"):
+        pass
+    with t.stage("a"):
+        pass
+    assert "a" in t.report() and t.counts["a"] == 2
+
+    with device_trace(None):  # no-op path
+        pass

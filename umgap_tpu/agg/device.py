@@ -89,18 +89,27 @@ def dedup_counts(taxa: jax.Array, weights: jax.Array, k_max: int):
     pos = jnp.arange(N, dtype=jnp.int32)
     earlier = eq & (pos[None, None, :] < pos[None, :, None])
     first = ~jnp.any(earlier, axis=-1) & (t != I32_MAX)
-    # compact: sort (key, count) pairs so unique taxa pack to the left
-    key = jnp.where(first, t, I32_MAX)
-    key, cnt = jax.lax.sort((key, cnt), dimension=-1, num_keys=1)
-    if k_max <= N:
-        key = key[:, :k_max]
-        cnt = cnt[:, :k_max]
-    else:
+    # Compact unique entries to the left in first-occurrence order via a
+    # one-hot contraction (a lax.sort here costs ~5 ms at bench shapes;
+    # the matmul runs on the MXU). Taxon ids are < 2^24, exact in f32.
+    K = min(k_max, N)
+    tgt = jnp.cumsum(first.astype(jnp.int32), axis=-1) - 1  # (B, N)
+    tgt = jnp.where(first, tgt, -1)
+    sel = (tgt[:, :, None] == jnp.arange(K, dtype=jnp.int32)
+           ).astype(jnp.float32)  # (B, N, K)
+    key = jnp.einsum("bnk,bn->bk", sel, t.astype(jnp.float32),
+                     preferred_element_type=jnp.float32)
+    cntk = jnp.einsum("bnk,bn->bk", sel, cnt,
+                      preferred_element_type=jnp.float32)
+    filled = jnp.arange(K, dtype=jnp.int32)[None, :] < jnp.sum(
+        first, axis=-1, dtype=jnp.int32)[:, None]
+    key = jnp.where(filled, key.astype(jnp.int32), I32_MAX)
+    if k_max > N:
         pad = ((0, 0), (0, k_max - N))
         key = jnp.pad(key, pad, constant_values=I32_MAX)
-        cnt = jnp.pad(cnt, pad)
-    uvalid = key != I32_MAX
-    return key.astype(jnp.int32), jnp.where(uvalid, cnt, 0.0), uvalid
+        cntk = jnp.pad(cntk, pad)
+        filled = jnp.pad(filled, pad)
+    return key, jnp.where(filled, cntk, 0.0), filled
 
 
 def filter_lower_bound(ucounts, uvalid, lower_bound: float):
@@ -128,7 +137,9 @@ def hit_geometry(dtax: DeviceTaxonomy, utaxa, uvalid) -> HitGeometry:
     B, K, D = lin.shape
     # anc_of_j_at_depth_of_i[b, i, j] = lin[b, j, dep[b, i]], computed as a
     # one-hot-depth contraction so it runs on the MXU instead of a
-    # materialized (B, K, K, D) gather. Taxon ids (< 2^24) are exact in f32.
+    # materialized (B, K, K, D) gather. Taxon ids (< 2^24) are exact in
+    # f32 (bf16 planes were tried and lost: 3x the (B, K, K) outputs to
+    # materialize outweighs the faster MXU path).
     onehot = (jnp.arange(D, dtype=jnp.int32)[None, None, :] == dep[:, :, None]
               ).astype(jnp.float32)  # (B, K_i, D)
     lin_f = lin.astype(jnp.float32)  # NONE = -1 stays representable
@@ -210,9 +221,11 @@ def tree_mix_batch(dtax: DeviceTaxonomy, geom: HitGeometry, utaxa, ucounts,
         below = geom.valid & (geom.depth > d) & (lin_d == x[:, None])  # (B, K)
         any_below = below.any(axis=-1)
         branch = lin_d1  # (B, K) candidate branch per input
-        # per-input branch sums: sum over inputs j' below with same branch
-        same = (branch[:, :, None] == branch[:, None, :]) & below[:, :, None] & below[:, None, :]
-        bsum = jnp.sum(jnp.where(same, c[:, :, None], 0.0), axis=1)  # (B, K)
+        # per-input branch sums: sum over inputs j below (in one masked
+        # weight vector, keeping the (B, K, K) work to eq+where+sum)
+        cm = jnp.where(below, c, 0.0)  # (B, K)
+        eqb = branch[:, :, None] == branch[:, None, :]  # (B, K, K)
+        bsum = jnp.sum(jnp.where(eqb, cm[:, None, :], 0.0), axis=-1)
         bsum = jnp.where(below, bsum, -jnp.inf)
         maxsum = jnp.max(bsum, axis=-1)
         cand = below & (bsum == maxsum[:, None])

@@ -695,6 +695,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="9-mer or tryptic index (.npz)")
     sp.add_argument("--batch-size", type=int, default=1024)
     sp.add_argument("--read-length", type=int, default=160)
+    sp.add_argument("--trace-dir", default=None,
+                    help="write a JAX profiler (xprof) trace here")
     sp.set_defaults(func=cmd_analyse)
 
     return p
@@ -713,18 +715,21 @@ def cmd_analyse(args, stdin, stdout):
     )
     from .pipeline.runner import read_groups_fastq
 
+    from .utils import device_trace
+
     tax = _load_taxonomy(args.taxons)
     table = _load_table(args.index)
     paths = [args.first] + ([args.second] if args.second else [])
     groups = list(read_groups_fastq(paths))
-    if args.type in TRYPTIC_PRESETS:
-        results = analyse_tryptic_groups(
-            groups, tax, table, TRYPTIC_PRESETS[args.type],
-            batch_size=args.batch_size)
-    else:
-        results = analyse_stream(
-            groups, tax, table, args.type, ends=len(paths),
-            batch_size=args.batch_size, read_length=args.read_length)
+    with device_trace(getattr(args, "trace_dir", None)):
+        if args.type in TRYPTIC_PRESETS:
+            results = analyse_tryptic_groups(
+                groups, tax, table, TRYPTIC_PRESETS[args.type],
+                batch_size=args.batch_size)
+        else:
+            results = analyse_stream(
+                groups, tax, table, args.type, ends=len(paths),
+                batch_size=args.batch_size, read_length=args.read_length)
     writer = fasta.Writer(stdout, "\n", False)
     for h, t in results:
         writer.write_record(fasta.Record(h, [str(t)]))

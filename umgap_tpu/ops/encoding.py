@@ -41,6 +41,30 @@ def encode_dna(seq: str | bytes) -> np.ndarray:
     return DNA_FROM_BYTE[np.frombuffer(seq, dtype=np.uint8)]
 
 
+def pack_dna4(codes: np.ndarray) -> np.ndarray:
+    """Pack DNA codes (values 0..4) two-per-byte along the last axis —
+    the host->device wire format (halves transfer bytes; the tunnel link
+    to the device is the end-to-end bottleneck). Odd lengths pad with N.
+    """
+    if codes.shape[-1] % 2:
+        pad = [(0, 0)] * (codes.ndim - 1) + [(0, 1)]
+        codes = np.pad(codes, pad, constant_values=DNA_N)
+    even = codes[..., 0::2].astype(np.uint8)
+    odd = codes[..., 1::2].astype(np.uint8)
+    return (even << 4) | odd
+
+
+def unpack_dna4_device(packed, length: int):
+    """Device-side inverse of :func:`pack_dna4` (jittable)."""
+    import jax.numpy as jnp
+
+    p = jnp.asarray(packed)
+    even = (p >> 4) & 0xF
+    odd = p & 0xF
+    out = jnp.stack([even, odd], axis=-1).reshape(p.shape[:-1] + (-1,))
+    return out[..., :length].astype(jnp.uint8)
+
+
 def decode_dna(codes: np.ndarray) -> str:
     return BYTE_FROM_DNA[codes].tobytes().decode()
 

@@ -105,12 +105,27 @@ def pipeline_step(dna, lengths, dtax: devagg.DeviceTaxonomy,
 
 
 def make_pipeline(dtax: devagg.DeviceTaxonomy, dtable: lookup.DeviceTable,
-                  config: PipelineConfig, euler=None):
+                  config: PipelineConfig, euler=None, wire: str = "codes"):
     """Jitted (dna, lengths) -> per-read taxon function.
 
     The table/taxonomy pytrees are jit *arguments* (device-resident),
     not closure constants — closed-over arrays would be embedded in the
-    compiled program."""
+    compiled program.
+
+    ``wire='packed4'`` accepts 4-bit packed DNA (two bases per byte,
+    :func:`umgap_tpu.ops.encoding.pack_dna4`) plus the unpacked length —
+    halving the host->device transfer, which bounds end-to-end
+    throughput on tunneled devices."""
+
+    if wire == "packed4":
+
+        @functools.partial(jax.jit, static_argnames=("length",))
+        def step_p(dna4, lengths, dtable, dtax, euler, length):
+            dna = encoding.unpack_dna4_device(dna4, length)
+            return pipeline_step(dna, lengths, dtax, dtable, config, euler)
+
+        return lambda dna4, lengths, length: step_p(
+            dna4, lengths, dtable, dtax, euler, length)
 
     @jax.jit
     def step(dna, lengths, dtable, dtax, euler):

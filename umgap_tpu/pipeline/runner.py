@@ -15,6 +15,7 @@ from ..agg import device as devagg
 from ..io import fasta, fastq
 from ..ops import encoding, lookup
 from ..taxonomy import Taxonomy
+from ..utils import StageTimer, verbose
 from .fused import PRESETS, PipelineConfig, make_pipeline
 
 
@@ -60,14 +61,19 @@ class Analyser:
         self.batch_size = batch_size
         self.read_length = read_length
         self.ends = ends
-        self.dtax = devagg.DeviceTaxonomy.from_host(tax)
-        self.dtable = lookup.DeviceTable.from_host(table)
-        euler = None
-        if (config.method, config.strategy) == ("rmq", "lca*"):
-            from ..agg.device_rmq import DeviceEuler
+        self.timer = StageTimer()
+        with self.timer.stage("device_state_load"):
+            self.dtax = devagg.DeviceTaxonomy.from_host(tax)
+            self.dtable = lookup.DeviceTable.from_host(table)
+            euler = None
+            if (config.method, config.strategy) == ("rmq", "lca*"):
+                from ..agg.device_rmq import DeviceEuler
 
-            euler = DeviceEuler.from_host(tax)
-        self.step = make_pipeline(self.dtax, self.dtable, config, euler)
+                euler = DeviceEuler.from_host(tax)
+        self.step = make_pipeline(self.dtax, self.dtable, config, euler,
+                                  wire="packed4")
+        verbose(f"Analyser ready: preset={config.name} "
+                f"batch={batch_size} ends={ends}")
 
     def analyse_groups(self, groups):
         """groups: iterable of (header, [seq…]). Yields (header, taxon)."""
@@ -88,7 +94,8 @@ class Analyser:
         while len(seqs) < self.batch_size:
             seqs.append([""] * self.ends)
         dna, lens = encode_batch(seqs, self.ends, self.read_length)
-        taxa = np.asarray(self.step(dna, lens))
+        taxa = np.asarray(self.step(encoding.pack_dna4(dna), lens,
+                                    self.read_length))
         for h, t in zip(headers, taxa[:n]):
             yield h, int(t)
 
@@ -105,11 +112,14 @@ class Analyser:
 
         def emit(item):
             start, n, out = item
-            taxa = np.asarray(out)
+            with self.timer.stage("materialize"):
+                taxa = np.asarray(out)
             for h, t in zip(headers[start : start + n], taxa[:n]):
                 yield h, int(t)
 
-        for start in range(0, N, B):
+        import jax
+
+        def chunk(start):
             nd = dna[start : start + B]
             nl = lens[start : start + B]
             n = len(nd)
@@ -117,11 +127,24 @@ class Analyser:
                 nd = np.pad(nd, ((0, B - n), (0, 0), (0, 0)),
                             constant_values=encoding.DNA_N)
                 nl = np.pad(nl, ((0, B - n), (0, 0)))
-            inflight.append((start, n, self.step(nd, nl)))
+            # 4-bit packed wire + async H2D so the halved transfer
+            # overlaps the previous batch's device compute (transfers are
+            # the end-to-end bottleneck on tunneled devices)
+            return n, jax.device_put(encoding.pack_dna4(nd)), jax.device_put(nl)
+
+        starts = list(range(0, N, B))
+        pending = chunk(starts[0]) if starts else None
+        for j, start in enumerate(starts):
+            n, nd, nl = pending
+            pending = chunk(starts[j + 1]) if j + 1 < len(starts) else None
+            with self.timer.stage("dispatch"):
+                inflight.append((start, n,
+                                 self.step(nd, nl, self.read_length)))
             if len(inflight) > depth:
                 yield from emit(inflight.pop(0))
         for item in inflight:
             yield from emit(item)
+        verbose("analyse_arrays timings:\n" + self.timer.report())
 
 
 def analyse_paired(fastq1: str, fastq2: str, tax: Taxonomy, table,
