@@ -32,16 +32,20 @@ class DeviceTaxonomy:
     """Device-resident taxonomy arrays (a registered pytree: pass as a
     jit argument, not a closure constant)."""
 
-    def __init__(self, depth, anc, snap_valid, snap_ranked, root: int):
+    def __init__(self, depth, anc, geom, snap_valid, snap_ranked, root: int):
         self.depth = depth            # (size,) int32, -1 for unreachable
         self.anc = anc                # (size, D) int32 ancestor-at-depth
+        # geom packs [depth, anc row] per taxon so hit_geometry needs ONE
+        # row gather per hit (row width is nearly free on TPU gathers;
+        # a second flat gather for depth costs ~10 ns/element).
+        self.geom = geom              # (size, 1 + D) int32
         self.snap_valid = snap_valid  # (size,) int32 snapping (valid)
         self.snap_ranked = snap_ranked  # (size,) int32 (valid+ranked)
         self.root = root
 
     def tree_flatten(self):
-        return (self.depth, self.anc, self.snap_valid, self.snap_ranked), (
-            self.root,)
+        return (self.depth, self.anc, self.geom, self.snap_valid,
+                self.snap_ranked), (self.root,)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -50,9 +54,12 @@ class DeviceTaxonomy:
     @classmethod
     def from_host(cls, tax: Taxonomy, device=None) -> "DeviceTaxonomy":
         put = (lambda x: jax.device_put(x, device)) if device else jnp.asarray
+        anc = tax.anc_table.astype(np.int32)
+        depth = tax.depth.astype(np.int32)
         return cls(
-            depth=put(tax.depth.astype(np.int32)),
-            anc=put(tax.anc_table.astype(np.int32)),
+            depth=put(depth),
+            anc=put(anc),
+            geom=put(np.concatenate([depth[:, None], anc], axis=1)),
             snap_valid=put(tax.snapping(False).astype(np.int32)),
             snap_ranked=put(tax.snapping(True).astype(np.int32)),
             root=int(tax.root),
@@ -131,8 +138,9 @@ class HitGeometry(NamedTuple):
 def hit_geometry(dtax: DeviceTaxonomy, utaxa, uvalid) -> HitGeometry:
     size = dtax.depth.shape[0]
     safe = jnp.where(uvalid, jnp.clip(utaxa, 0, size - 1), 0)
-    lin = dtax.anc[safe]                      # (B, K, D)
-    dep = jnp.where(uvalid, dtax.depth[safe], 0)
+    rows = dtax.geom[safe]                    # (B, K, 1 + D), one gather
+    lin = rows[..., 1:]                       # (B, K, D)
+    dep = jnp.where(uvalid, rows[..., 0], 0)
     dep = jnp.maximum(dep, 0)
     B, K, D = lin.shape
     # anc_of_j_at_depth_of_i[b, i, j] = lin[b, j, dep[b, i]], computed as a
@@ -214,18 +222,28 @@ def tree_mix_batch(dtax: DeviceTaxonomy, geom: HitGeometry, utaxa, ucounts,
     c = jnp.where(geom.valid, ucounts, 0.0)
     total = jnp.sum(c, axis=-1)
 
+    # Hoist the (B, K, K) branch-sum reduces out of the sequential
+    # descent: bsumG[b, d, j] = sum of counts of inputs sharing j's
+    # ancestor at depth d+1. Equal depth-(d+1) ancestors imply equal
+    # depth-d ancestors (unique parents), and lin != NONE encodes
+    # "deeper than d", so this equals the in-loop masked branch sum for
+    # every j below the current node — one big parallel compare-reduce
+    # instead of D-1 serialized ones.
+    bt = jnp.moveaxis(geom.lin[:, :, 1:], -1, 1)  # (B, D-1, K)
+    bsumG = jnp.sum(
+        jnp.where(bt[:, :, :, None] == bt[:, :, None, :],
+                  c[:, None, None, :], 0.0),
+        axis=-1,
+    )  # (B, D-1, K)
+
     def body(d, state):
         x, a_base, done = state
         lin_d = jax.lax.dynamic_index_in_dim(geom.lin, d, axis=2, keepdims=False)
-        lin_d1 = jax.lax.dynamic_index_in_dim(geom.lin, d + 1, axis=2, keepdims=False)
-        below = geom.valid & (geom.depth > d) & (lin_d == x[:, None])  # (B, K)
+        branch = jax.lax.dynamic_index_in_dim(geom.lin, d + 1, axis=2,
+                                              keepdims=False)  # (B, K)
+        below = geom.valid & (branch != NONE) & (lin_d == x[:, None])  # (B, K)
         any_below = below.any(axis=-1)
-        branch = lin_d1  # (B, K) candidate branch per input
-        # per-input branch sums: sum over inputs j below (in one masked
-        # weight vector, keeping the (B, K, K) work to eq+where+sum)
-        cm = jnp.where(below, c, 0.0)  # (B, K)
-        eqb = branch[:, :, None] == branch[:, None, :]  # (B, K, K)
-        bsum = jnp.sum(jnp.where(eqb, cm[:, None, :], 0.0), axis=-1)
+        bsum = jax.lax.dynamic_index_in_dim(bsumG, d, axis=1, keepdims=False)
         bsum = jnp.where(below, bsum, -jnp.inf)
         maxsum = jnp.max(bsum, axis=-1)
         cand = below & (bsum == maxsum[:, None])

@@ -153,14 +153,16 @@ def _fingerprints(peptides):
 # ---------------------------------------------------------------------- #
 
 def _insert_bucketized(bucket0: np.ndarray, payloads, cap: int,
-                       tag_distance: bool = False, bucket: int = BUCKET):
+                       tag_distance: bool = False, bucket: int = BUCKET,
+                       max_round: int | None = None):
     """Place keys into BUCKET-wide rows with bucket-level linear probing.
 
     ``payloads``: list of (n,) int32 arrays; each gets a (cap,) output
     (EMPTY-filled for the first, 0-filled for the rest). With
     ``tag_distance``, the first payload is OR-ed with ``r << 30`` at
-    placement round r (quotient disambiguation). Returns
-    (outputs, max_probes)."""
+    placement round r (quotient disambiguation). With ``max_round``,
+    keys still unplaced after that round are returned instead of probed
+    further. Returns (outputs, max_probes, leftover_indices)."""
     n = len(bucket0)
     n_buckets = max(cap // bucket, 1)
     outs = [np.full(cap, EMPTY if i == 0 else 0, dtype=np.int32)
@@ -170,6 +172,8 @@ def _insert_bucketized(bucket0: np.ndarray, payloads, cap: int,
     r = 0
     max_probes = 0
     while len(pending):
+        if max_round is not None and r > max_round:
+            break
         if r > n_buckets:
             raise RuntimeError("table capacity exhausted")
         b = (bucket0[pending] + r) % n_buckets
@@ -194,7 +198,7 @@ def _insert_bucketized(bucket0: np.ndarray, payloads, cap: int,
             max_probes = max(max_probes, r)
         pending = pending[order][~place]
         r += 1
-    return outs, max_probes
+    return outs, max_probes, pending
 
 
 def _pow2_capacity(n: int, load_factor: float, min_cap: int) -> int:
@@ -209,16 +213,27 @@ def _pow2_capacity(n: int, load_factor: float, min_cap: int) -> int:
 # ---------------------------------------------------------------------- #
 
 class KmerTable:
-    """Fixed-k packed-kmer table, quotient-stored: 8 bytes per slot."""
+    """Fixed-k packed-kmer table, quotient-stored: 8 bytes per slot.
+
+    An optional *stash* holds the handful of keys whose home bucket
+    overflowed the probe-distance limit: lookups compare every query
+    against all stash keys with a broadcast (gather-free, ~0.3 ms per
+    million queries at 128 stash slots), which lets the single-gather
+    ``bucket16`` layout keep a dense load factor without growing."""
 
     kind = "kmer"
 
-    def __init__(self, rem, values, max_probes: int, n: int, meta=None):
+    def __init__(self, rem, values, max_probes: int, n: int, meta=None,
+                 stash_hi=None, stash_lo=None, stash_val=None):
         self.rem = rem
         self.values = values
         self.max_probes = int(max_probes)
         self.n = int(n)
         self.meta = dict(meta or {})
+        z = np.zeros(0, dtype=np.int32)
+        self.stash_hi = z if stash_hi is None else stash_hi
+        self.stash_lo = z if stash_lo is None else stash_lo
+        self.stash_val = z if stash_val is None else stash_val
 
     @property
     def capacity(self) -> int:
@@ -245,11 +260,17 @@ class KmerTable:
     @classmethod
     def build(cls, packed: np.ndarray, values: np.ndarray, k: int,
               load_factor: float = 0.45, capacity: int | None = None,
-              max_probe_limit: int = 1, bucket: int = BUCKET) -> "KmerTable":
+              max_probe_limit: int = 1, bucket: int = BUCKET,
+              stash_cap: int = 128) -> "KmerTable":
         """``bucket`` trades memory for probe speed: 4-slot buckets
         halve the bytes per probe round but need a sparser table to keep
-        the probe-distance limit (roughly 2x capacity vs 8-slot)."""
-        hi, lo = kmers.split_packed(packed.astype(np.uint64))
+        the probe-distance limit (roughly 2x capacity vs 8-slot).
+        Overflow beyond the limit lands in the stash (up to
+        ``stash_cap`` keys); the table only grows when the stash would
+        overflow too."""
+        packed = packed.astype(np.uint64)
+        values = np.asarray(values, dtype=np.int32)
+        hi, lo = kmers.split_packed(packed)
         mhi, mlo = mix_key(hi, lo)
         cap = capacity or _pow2_capacity(
             len(values), load_factor, bucket << MIN_NB_BITS)
@@ -260,16 +281,19 @@ class KmerTable:
             bucket0 = (mlo & np.uint32((1 << nb_bits) - 1)).astype(np.int64)
             rem = ((mlo >> np.uint32(nb_bits))
                    | (mhi << np.uint32(25 - nb_bits))).astype(np.int32)
-            (rem_arr, val_arr), max_probes = _insert_bucketized(
-                bucket0, [rem, values.astype(np.int32)], cap,
-                tag_distance=True, bucket=bucket)
-            if max_probes <= max_probe_limit:
+            (rem_arr, val_arr), max_probes, leftover = _insert_bucketized(
+                bucket0, [rem, values], cap,
+                tag_distance=True, bucket=bucket, max_round=max_probe_limit)
+            if len(leftover) <= stash_cap:
                 return cls(rem_arr, val_arr, max_probes, len(values),
-                           {"k": k, "nb_bits": nb_bits, "bucket": bucket})
+                           {"k": k, "nb_bits": nb_bits, "bucket": bucket},
+                           stash_hi=hi[leftover].astype(np.int32),
+                           stash_lo=lo[leftover].astype(np.int32),
+                           stash_val=values[leftover])
             if capacity is not None:
                 raise RuntimeError(
-                    f"max probe distance {max_probes} exceeds limit at the "
-                    "requested capacity; use a larger capacity")
+                    f"{len(leftover)} keys exceed the probe-distance limit "
+                    "at the requested capacity; use a larger capacity")
             cap *= 2
 
     # -- probing -------------------------------------------------------- #
@@ -305,6 +329,12 @@ class KmerTable:
             has_empty = (rr == EMPTY).any(axis=-1)
             live = live & ~anyhit & ~has_empty
             bucket = (bucket + 1) % nb
+        if len(self.stash_hi):
+            eq = (hi[..., None] == self.stash_hi) & (lo[..., None] == self.stash_lo)
+            shit = eq.any(axis=-1)
+            sval = np.take(self.stash_val, np.argmax(eq, axis=-1))
+            out = np.where(shit, sval, out)
+            found |= shit
         return out, found
 
     def lookup_host(self, peptides_codes, default: int = 0):
@@ -318,9 +348,9 @@ class KmerTable:
         return results
 
     def items(self):
-        """(packed_key, value) pairs in slot order (for printindex). The
-        stored distance tag makes reconstruction exact: home bucket =
-        slot bucket - distance."""
+        """(packed_key, value) pairs in slot order, stash last (for
+        printindex). The stored distance tag makes reconstruction exact:
+        home bucket = slot bucket - distance."""
         occ = np.nonzero(self.rem != EMPTY)[0]
         tag = self.rem[occ].astype(np.uint32)
         dist = (tag >> np.uint32(30)).astype(np.int64)
@@ -334,7 +364,12 @@ class KmerTable:
         mhi = (rem >> np.uint32(25 - nb_bits)) & MASK20
         hi, lo = unmix_key(mhi, mlo)
         packed = kmers.join_packed(hi.astype(np.int32), lo.astype(np.int32))
-        return packed, self.values[occ]
+        values = self.values[occ]
+        if len(self.stash_hi):
+            packed = np.concatenate(
+                [packed, kmers.join_packed(self.stash_hi, self.stash_lo)])
+            values = np.concatenate([values, self.stash_val])
+        return packed, values
 
     # -- serialization -------------------------------------------------- #
 
@@ -346,6 +381,9 @@ class KmerTable:
             values=self.values,
             max_probes=np.int64(self.max_probes),
             n=np.int64(self.n),
+            stash_hi=self.stash_hi,
+            stash_lo=self.stash_lo,
+            stash_val=self.stash_val,
             **{f"meta_{k}": np.int64(v) for k, v in self.meta.items()},
         )
 
@@ -561,12 +599,19 @@ class CuckooKmerTable:
 
 
 def build_kmer_table(packed: np.ndarray, values: np.ndarray, k: int,
-                     layout: str = "cuckoo", **kw):
+                     layout: str = "bucket16", **kw):
     """Build a k-mer table in the requested layout.
 
-    ``cuckoo`` (default) minimizes gathered elements per probe (fastest
-    on device); ``bucket8``/``bucket4`` are the row-bucketized layouts
-    (denser packing per probe *round*, more elements gathered)."""
+    TPU gathers cost ~5-8 ns per *row* regardless of row width (up to
+    ~64 bytes), so lookup throughput is set by gather *ops* per query,
+    not elements. ``bucket16`` (default) needs exactly ONE row gather
+    per query: 16-slot buckets probed in a single round, with overflow
+    keys in a broadcast-compared stash. ``cuckoo`` reads the fewest
+    elements (2 gathers of 2 int32) — use it when HBM is the binding
+    constraint. ``bucket8``/``bucket4`` are narrower-row variants."""
+    if layout == "bucket16":
+        return KmerTable.build(packed, values, k, bucket=16,
+                               max_probe_limit=0, **kw)
     if layout == "cuckoo":
         return CuckooKmerTable.build(packed, values, k, **kw)
     if layout in ("bucket8", "bucket"):
@@ -616,7 +661,7 @@ class PeptideTable:
         cap = _pow2_capacity(len(values), load_factor, 64)
         n_buckets = max(cap // BUCKET, 1)
         bucket0 = (hash32(hi, lo) & np.uint32(n_buckets - 1)).astype(np.int64)
-        (kh, kl, kv), max_probes = _insert_bucketized(
+        (kh, kl, kv), max_probes, _ = _insert_bucketized(
             bucket0, [hi, lo, values.astype(np.int32)], cap)
         t = cls(kh, kl, kv, max_probes, len(values))
         if store_keys:
@@ -691,7 +736,10 @@ def load_table(path):
     meta = {k[len("meta_"):]: int(z[k]) for k in z.files if k.startswith("meta_")}
     if kind == "kmer":
         return KmerTable(z["rem"], z["values"], int(z["max_probes"]),
-                         int(z["n"]), meta)
+                         int(z["n"]), meta,
+                         stash_hi=z.get("stash_hi"),
+                         stash_lo=z.get("stash_lo"),
+                         stash_val=z.get("stash_val"))
     if kind == "cuckoo":
         return CuckooKmerTable(z["rem"], z["values"], int(z["n"]), meta)
     t = PeptideTable(z["key_hi"], z["key_lo"], z["values"],

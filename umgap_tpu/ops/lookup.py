@@ -40,20 +40,23 @@ class DeviceTable:
     """
 
     def __init__(self, rows, max_probes: int, kind: str, nb_bits: int,
-                 bucket: int = BUCKET):
+                 bucket: int = BUCKET, stash=None):
         self.rows = rows  # (n_buckets, 2*bucket or 3*bucket) int32
         self.max_probes = max_probes
         self.kind = kind
         self.nb_bits = nb_bits
         self.bucket = bucket
+        # (S, 3) int32 [key_hi, key_lo, value] overflow stash (may be
+        # empty); compared against every query by broadcast, not gather.
+        self.stash = jnp.zeros((0, 3), jnp.int32) if stash is None else stash
 
     def tree_flatten(self):
-        return (self.rows,), (self.max_probes, self.kind, self.nb_bits,
-                              self.bucket)
+        return (self.rows, self.stash), (self.max_probes, self.kind,
+                                         self.nb_bits, self.bucket)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], *aux)
+        return cls(children[0], *aux, stash=children[1])
 
     @property
     def n_buckets(self) -> int:
@@ -70,8 +73,15 @@ class DeviceTable:
         else:
             nb_bits = 0
         bucket = getattr(table, "bucket", BUCKET)
+        sh = getattr(table, "stash_hi", None)
+        if sh is not None and len(sh):
+            stash = put(np.stack(
+                [sh, table.stash_lo, table.stash_val], axis=1
+            ).astype(np.int32))
+        else:
+            stash = put(np.zeros((0, 3), np.int32))
         return cls(put(rows), int(table.max_probes), table.kind, nb_bits,
-                   bucket)
+                   bucket, stash=stash)
 
 
 def pack_rows(table) -> np.ndarray:
@@ -168,6 +178,14 @@ def probe(table: DeviceTable, hi: jax.Array, lo: jax.Array,
             has_empty = jnp.any(rr == jnp.int32(-1), axis=-1)
             live = live & ~anyhit & ~has_empty
             bucket = (bucket + 1) & jnp.int32(nb - 1)
+        if table.stash.shape[0]:
+            mask = jnp.ones(hi.shape, dtype=bool) if valid is None else valid
+            eq = ((hi[..., None] == table.stash[:, 0])
+                  & (lo[..., None] == table.stash[:, 1]))  # (..., S)
+            shit = jnp.any(eq, axis=-1) & mask
+            sval = jnp.sum(jnp.where(eq, table.stash[:, 2], 0), axis=-1)
+            out = jnp.where(shit, sval, out)
+            found = found | shit
         return out, found
 
     # peptide (fingerprint) table
