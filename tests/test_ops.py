@@ -215,7 +215,7 @@ def test_cuckoo_table_roundtrip(tmp_path):
     n = 40_000  # dense enough to exercise the eviction tail
     packed = np.unique(rng.integers(0, 2 ** 45, size=2 * n).astype(np.uint64))[:n]
     values = rng.integers(1, 2 ** 30, size=n).astype(np.int32)
-    t = build_kmer_table(packed, values, k=9)
+    t = build_kmer_table(packed, values, k=9, layout="cuckoo")
     assert isinstance(t, CuckooKmerTable)
     hi, lo = kmers.split_packed(packed)
     got, found = t.probe_host(hi, lo)
