@@ -235,6 +235,7 @@ def main():
     kmers_stream = R.prot2kmer(translated)
     golden["pept2lca_kmers_o"] = R.pept2lca(kmers_stream, ninemer, one_on_one=True)
     tryp_stream = R.filter_cmd(R.prot2tryp(translated), min_length=9, max_length=45)
+    golden["filter_9_45"] = tryp_stream
     golden["pept2lca_tryptic"] = R.pept2lca(tryp_stream, tryptic)
     p2t2lca = R.prot2tryp2lca(translated, tryptic, min_length=9, max_length=45)
     golden["prot2tryp2lca"] = p2t2lca
@@ -270,7 +271,10 @@ def main():
     for header, seq in R.read_fasta(uniq3, unwrap=False):
         items = [f"{t}=0.{(i % 9) + 1}" for i, t in enumerate(seq)]
         R.write_fasta_record(scored_in, header, items)
-    golden["taxa2agg_scored"] = R.taxa2agg("".join(scored_in), tax_tsv,
+    scored_in = "".join(scored_in)
+    with open(os.path.join(DATA, "taxa2agg_scored_input.fa"), "w") as f:
+        f.write(scored_in)
+    golden["taxa2agg_scored"] = R.taxa2agg(scored_in, tax_tsv,
                                            scored=True, lower_bound=0.5)
 
     # ---- pipelines (scripts/umgap-analyse.sh:276-311) --------------- #
@@ -301,6 +305,8 @@ def main():
     taxa_lines = "".join(
         f"{seq[0]}\n" for _h, seq in R.read_fasta(hs, unwrap=False)
     )
+    with open(os.path.join(DATA, "hs_taxa.txt"), "w") as f:
+        f.write(taxa_lines)
     golden["taxa2freq_species"] = R.taxa2freq(tax_tsv, [("stdin", taxa_lines)])
     golden["taxa2freq_phylum_f0"] = R.taxa2freq(
         tax_tsv, [("stdin", taxa_lines)], rank="phylum", min_frequency=0)

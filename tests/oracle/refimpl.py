@@ -28,8 +28,8 @@ oracle pins those sites to the same deterministic choices the
   iteration order, nondeterministic).
 * tree::mix child descent (src/tree/mix.rs:53-57): ``max_by_key`` over
   children in a HashSet; ties pinned to the smallest child taxon id.
-* taxa2freq row order (src/commands/taxa2freq.rs:131-135): stable sort by
-  descending total; ties pinned to first-seen order of the counts map.
+* taxa2freq row order (src/commands/taxa2freq.rs:131-135): descending
+  total; ties pinned to ascending taxon id.
 
 Everything else is deterministic in the reference and transliterated
 exactly, including: the 64-bit-block RMQ with its positional tie
@@ -1120,7 +1120,7 @@ def taxa2freq(taxa_text: str, inputs: Sequence[Tuple[str, str]],
     """src/commands/taxa2freq.rs — inputs is a list of (name, text)
     pairs; pass [("stdin", text)] for the stdin form. Unparseable lines
     are skipped; rows with sum <= min_frequency are dropped (strict >).
-    Row ties (equal totals) are pinned to first-seen order."""
+    Row ties (equal totals) are pinned to ascending taxon id."""
     taxa = read_taxa(taxa_text)
     rank_idx = parse_rank(rank)
     if rank_idx == NO_RANK:
@@ -1147,11 +1147,11 @@ def taxa2freq(taxa_text: str, inputs: Sequence[Tuple[str, str]],
             row = counts.setdefault(key, [0] * numfiles)
             row[i] += 1
 
-    # Stable ascending sort by total, then reversed => descending with
-    # ties in reverse first-seen order (Rust: reverse HashMap order).
-    items = list(counts.items())
-    items.sort(key=lambda p: sum(p[1]))
-    for tid, row in reversed(items):
+    # Rust: stable ascending sort by total over HashMap order, then
+    # reversed — tie order nondeterministic. Pinned: descending total,
+    # ties by ascending taxon id (matches umgap_tpu's pin).
+    items = sorted(counts.items(), key=lambda p: (-sum(p[1]), p[0]))
+    for tid, row in items:
         taxon = by_id.get(tid)
         if taxon is None:
             raise OracleError(

@@ -338,7 +338,9 @@ def test_taxa2freq_fixture():
     # 12884 and 1 both snap to the root (the root is its own ancestor
     # even though it fails the rank filter, src/taxon.rs:279)
     assert "1,root,2" in lines
-    assert lines[1] == "185751,Pospiviroidae,2"
+    # pinned row order: descending total, ties by ascending taxon id
+    assert lines[1] == "1,root,2"
+    assert lines[2] == "185751,Pospiviroidae,2"
 
 
 def test_snaptaxon_fixture():
