@@ -328,6 +328,26 @@ def cmd_taxa2agg(args, stdin, stdout):
         writer.write_record(fasta.Record(rec.header, [out]))
 
 
+def format_freq_csv(tax, counts, col_names, min_frequency: int) -> str:
+    """The taxa2freq CSV body (src/commands/taxa2freq.rs:104-149):
+    header row, then rows with sum strictly > min_frequency, ordered by
+    descending total (ties pinned to ascending taxon id — the Rust sort
+    over HashMap order is nondeterministic on ties). Shared by the host
+    command and the sharded device path so both are byte-identical."""
+    out = ["taxon id,taxon name" + "".join("," + n for n in col_names) + "\n"]
+    rows = sorted(counts.items(), key=lambda p: (-sum(p[1]), p[0]))
+    for tid, row in rows:
+        taxon = tax.get(tid)
+        if taxon is None:
+            raise CliError(
+                "LCA taxon id not in taxon list. Check compatibility with index."
+            )
+        if sum(row) > min_frequency:
+            out.append(f"{taxon.id},{taxon.name},"
+                       + ",".join(str(c) for c in row) + "\n")
+    return "".join(out)
+
+
 def cmd_taxa2freq(args, stdin, stdout):
     tax = _load_taxonomy(args.taxon_file)
     rank = _parse_rank(args.rank)
@@ -336,12 +356,6 @@ def cmd_taxa2freq(args, stdin, stdout):
     snapping = tax.rank_snapping(rank)
 
     numfiles = len(args.input_files)
-    header = "taxon id,taxon name"
-    if numfiles == 0:
-        header += ",stdin"
-    else:
-        header += "".join("," + f for f in args.input_files)
-    stdout.write(header + "\n")
 
     counts: dict[int, List[int]] = {}
 
@@ -364,18 +378,8 @@ def cmd_taxa2freq(args, stdin, stdout):
             with open(path) as f:
                 count_stream(f, i, numfiles)
 
-    rows = sorted(counts.items(), key=lambda p: (-sum(p[1]), p[0]))
-    for tid, row in rows:
-        taxon = tax.get(tid)
-        if taxon is None:
-            raise CliError(
-                "LCA taxon id not in taxon list. Check compatibility with index."
-            )
-        if sum(row) > args.frequency:
-            stdout.write(f"{taxon.id},{taxon.name}")
-            for c in row:
-                stdout.write(f",{c}")
-            stdout.write("\n")
+    col_names = args.input_files if numfiles else ["stdin"]
+    stdout.write(format_freq_csv(tax, counts, col_names, args.frequency))
 
 
 def cmd_snaptaxon(args, stdin, stdout):

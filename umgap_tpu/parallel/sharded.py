@@ -159,11 +159,14 @@ def sharded_probe_local(local_hi, local_lo, local_valid,
 
 
 def make_sharded_pipeline(dtax, stable: ShardedTable, config, mesh: Mesh,
-                          axis: str = "x", n_ranks: int = 32):
+                          axis: str = "x", n_ranks: int | None = None):
     """The fused pipeline under shard_map: reads data-parallel over the
     mesh, table sharded over the same axis, probes routed all-to-all,
-    plus a psum-merged per-rank frequency vector (the taxa2freq analogue,
-    exercising the cross-chip collectives end to end)."""
+    plus a psum-merged frequency vector over the FULL rank-snapped taxon
+    space (the taxa2freq analogue; see parallel/freq.py for the
+    standalone byte-identical command path)."""
+    if n_ranks is None:
+        n_ranks = int(dtax.snap_ranked.shape[0])
     from jax import shard_map
 
     from ..agg import device as devagg
