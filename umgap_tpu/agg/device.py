@@ -32,7 +32,8 @@ class DeviceTaxonomy:
     """Device-resident taxonomy arrays (a registered pytree: pass as a
     jit argument, not a closure constant)."""
 
-    def __init__(self, depth, anc, geom, snap_valid, snap_ranked, root: int):
+    def __init__(self, depth, anc, geom, snap_valid, snap_ranked, root: int,
+                 seed_scores=None):
         self.depth = depth            # (size,) int32, -1 for unreachable
         self.anc = anc                # (size, D) int32 ancestor-at-depth
         # geom packs [depth, anc row] per taxon so hit_geometry needs ONE
@@ -42,14 +43,18 @@ class DeviceTaxonomy:
         self.snap_valid = snap_valid  # (size,) int32 snapping (valid)
         self.snap_ranked = snap_ranked  # (size,) int32 (valid+ranked)
         self.root = root
+        # (size,) int32 per-taxon seed score, 0 = unscored (None);
+        # used only by scored seedextend (src/commands/seedextend.rs:151-164)
+        self.seed_scores = (jnp.zeros_like(snap_valid)
+                            if seed_scores is None else seed_scores)
 
     def tree_flatten(self):
         return (self.depth, self.anc, self.geom, self.snap_valid,
-                self.snap_ranked), (self.root,)
+                self.snap_ranked, self.seed_scores), (self.root,)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, aux[0])
+        return cls(*children[:5], aux[0], seed_scores=children[5])
 
     @classmethod
     def from_host(cls, tax: Taxonomy, device=None) -> "DeviceTaxonomy":
@@ -63,6 +68,7 @@ class DeviceTaxonomy:
             snap_valid=put(tax.snapping(False).astype(np.int32)),
             snap_ranked=put(tax.snapping(True).astype(np.int32)),
             root=int(tax.root),
+            seed_scores=put(tax.seed_scores()),
         )
 
 

@@ -197,18 +197,26 @@ def _lookup_peptides(table, peptides: List[str], default_zero: bool):
     from .index.table import CuckooKmerTable, KmerTable
 
     if isinstance(table, (KmerTable, CuckooKmerTable)):
+        # one batched probe over every right-length peptide (no
+        # per-peptide interpreter dispatch on the hot path)
         k = table.k
-        out = []
-        for p in peptides:
-            if len(p) != k:
-                out.append(0 if default_zero else None)
-                continue
-            packed = np.array([kmerops.pack_peptide_host(encoding.encode_aa(p))],
-                              dtype=np.uint64)
-            hi, lo = kmerops.split_packed(packed)
-            vals, found = table.probe_host(hi, lo)
-            out.append(int(vals[0]) if found[0] else (0 if default_zero else None))
-        return out
+        right_len = np.array([len(p) == k for p in peptides], dtype=bool)
+        packed = np.zeros(len(peptides), dtype=np.uint64)
+        if right_len.any():
+            idx = np.flatnonzero(right_len)
+            blob = "".join(peptides[i] for i in idx)
+            codes = encoding.encode_aa(blob).reshape(len(idx), k)
+            pk = np.zeros(len(idx), dtype=np.uint64)
+            for j in range(k):
+                pk |= codes[:, j].astype(np.uint64) << np.uint64(5 * (k - 1 - j))
+            packed[idx] = pk
+        hi, lo = kmerops.split_packed(packed)
+        vals, found = table.probe_host(hi, lo)
+        found = found & right_len
+        return [
+            int(v) if f else (0 if default_zero else None)
+            for v, f in zip(vals, found)
+        ]
     vals, found = table.lookup_peptides_host(peptides)
     return [
         int(v) if f else (0 if default_zero else None)

@@ -152,6 +152,30 @@ def seedextend_mask_batch(taxa, lengths, min_seed_size: int = 2,
 
     s = jnp.int32(min_seed_size)
     g = jnp.int32(max_gap_size)
+    (pushes, pstarts, pstops), (f_push, f_start, f_stop) = _scan_seeds(
+        tx, N, lanes, s, g)
+
+    # boundary deltas -> mask (one-hot matmul, MXU-friendly)
+    def deltas(push, pstart, pstop):
+        # (..., N) increments at pstart, decrements at pstop (clipped)
+        inc = (pos == pstart[..., None]) & push[..., None]
+        dec = (pos == pstop[..., None]) & push[..., None]
+        return inc.astype(jnp.int32) - dec.astype(jnp.int32)
+
+    d = deltas(f_push, f_start, f_stop)
+    # per-step pushes from the scan (leading axis = step)
+    inc = ((pstarts[..., None] == pos) & pushes[..., None]).astype(jnp.int32)
+    dec = ((pstops[..., None] == pos) & pushes[..., None]).astype(jnp.int32)
+    d = d + (inc - dec).sum(axis=0)
+    keep = jnp.cumsum(d, axis=-1) > 0
+    return keep & inside
+
+
+def _scan_seeds(tx, N, lanes, s, g):
+    """The reference state machine as a lax.scan over positions; returns
+    per-step seed pushes and the final flush."""
+    import jax.numpy as jnp
+    from jax import lax
 
     def step(state, end_and_cur):
         end, cur = end_and_cur
@@ -192,18 +216,69 @@ def seedextend_mask_batch(taxa, lengths, min_seed_size: int = 2,
     f_end = jnp.full(lanes, N + 1, jnp.int32)
     f_push = f_same_max >= s
     f_stop = jnp.where(f_last == 0, f_end - f_same_tid, f_end)
+    return (pushes, pstarts, pstops), (f_push, f_start, f_stop)
 
-    # boundary deltas -> mask (one-hot matmul, MXU-friendly)
-    def deltas(push, pstart, pstop):
-        # (..., N) increments at pstart, decrements at pstop (clipped)
-        inc = (pos == pstart[..., None]) & push[..., None]
-        dec = (pos == pstop[..., None]) & push[..., None]
-        return inc.astype(jnp.int32) - dec.astype(jnp.int32)
 
-    d = deltas(f_push, f_start, f_stop)
-    # per-step pushes from the scan (leading axis = step)
-    inc = ((pstarts[..., None] == pos) & pushes[..., None]).astype(jnp.int32)
-    dec = ((pstops[..., None] == pos) & pushes[..., None]).astype(jnp.int32)
-    d = d + (inc - dec).sum(axis=0)
-    keep = jnp.cumsum(d, axis=-1) > 0
-    return keep & inside
+def seedextend_scored_mask_batch(taxa, lengths, seed_scores, penalty: int = 5,
+                                 min_seed_size: int = 2, max_gap_size: int = 0):
+    """Scored seed-extend (`-r`, src/commands/seedextend.rs:151-164) on
+    device: keep only the highest-scoring extended seed per lane.
+
+    Args:
+      taxa: (..., N) int32 taxon ids (0 = miss).
+      lengths: (...) int32 valid lengths.
+      seed_scores: (size,) int32 per-taxon seed score with 0 meaning
+        "no score" (TaxonList::score returning None, src/taxon.rs:181-191)
+        — build with :func:`umgap_tpu.taxonomy.Taxonomy.seed_scores`.
+      penalty: substitute score for unscored taxa (including gaps).
+
+    Ties keep the LAST maximal seed, matching Rust's max_by_key.
+    """
+    import jax.numpy as jnp
+
+    t = jnp.asarray(taxa, dtype=jnp.int32)
+    N = t.shape[-1]
+    lanes = t.shape[:-1]
+    pos = jnp.arange(N, dtype=jnp.int32)
+    inside = pos < lengths[..., None]
+    t = jnp.where(inside, t, 0)
+    tx = jnp.concatenate([t, jnp.zeros(lanes + (1,), jnp.int32)], axis=-1)
+
+    (pushes, pstarts, pstops), (f_push, f_start, f_stop) = _scan_seeds(
+        tx, N, lanes, jnp.int32(min_seed_size), jnp.int32(max_gap_size))
+
+    # per-position scores over tx (sentinel included: it scores penalty)
+    size = seed_scores.shape[0]
+    sc = seed_scores[jnp.clip(tx, 0, size - 1)]
+    sc = jnp.where((tx >= 0) & (tx < size) & (sc > 0), sc, jnp.int32(penalty))
+    prefix = jnp.cumsum(sc, axis=-1)  # prefix[i] = sum sc[0..i]
+    zeros = jnp.zeros(lanes + (1,), prefix.dtype)
+    prefix = jnp.concatenate([zeros, prefix], axis=-1)  # prefix[i]=sum(<i)
+
+    # candidates: scan pushes (in order) then the final flush (last)
+    starts = jnp.concatenate([pstarts, f_start[None]], axis=0)  # (N+1, ...)
+    stops = jnp.concatenate([pstops, f_stop[None]], axis=0)
+    valids = jnp.concatenate([pushes, f_push[None]], axis=0)
+    stops_c = jnp.clip(stops, 0, N + 1)
+    a = jnp.take_along_axis(
+        jnp.broadcast_to(prefix, starts.shape[:1] + prefix.shape),
+        stops_c[..., None], axis=-1)[..., 0]
+    b = jnp.take_along_axis(
+        jnp.broadcast_to(prefix, starts.shape[:1] + prefix.shape),
+        jnp.clip(starts, 0, N + 1)[..., None], axis=-1)[..., 0]
+    scores = jnp.where(valids, a - b, jnp.int32(-2 ** 30))
+
+    # last maximum along the candidate axis (axis 0)
+    M = scores.shape[0]
+    smax = scores.max(axis=0)
+    is_max = scores == smax[None]
+    cand_idx = jnp.arange(M, dtype=jnp.int32).reshape((M,) + (1,) * len(lanes))
+    best = jnp.max(jnp.where(is_max, cand_idx, -1), axis=0)  # (...,)
+    any_seed = valids.any(axis=0)
+
+    bstart = jnp.take_along_axis(
+        jnp.moveaxis(starts, 0, -1), best[..., None], axis=-1)[..., 0]
+    bstop = jnp.take_along_axis(
+        jnp.moveaxis(stops, 0, -1), best[..., None], axis=-1)[..., 0]
+    keep = (pos >= bstart[..., None]) & (pos < bstop[..., None])
+    return keep & any_seed[..., None] & inside

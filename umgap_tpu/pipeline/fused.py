@@ -38,6 +38,11 @@ class PipelineConfig(NamedTuple):
     factor: float = 0.25
     table_number: int = 1
     k_max: int = 128  # per-read unique-taxa capacity for aggregation
+    # scored seedextend (`-r`, src/commands/seedextend.rs:151-164): keep
+    # only the best-scoring extended seed per frame. No preset uses it;
+    # available for custom pipelines.
+    ranked: bool = False
+    penalty: int = 5
 
 
 PRESETS = {
@@ -85,8 +90,13 @@ def pipeline_step(dna, lengths, dtax: devagg.DeviceTaxonomy,
     # per-frame seed-extend
     W = taxa.shape[-1]
     nkmers = jnp.maximum(plens - (config.k - 1), 0)  # (B*E, 6)
-    keep = seedextend.seedextend_mask_batch(
-        taxa, nkmers, config.min_seed_size, config.max_gap_size)
+    if config.ranked:
+        keep = seedextend.seedextend_scored_mask_batch(
+            taxa, nkmers, dtax.seed_scores, config.penalty,
+            config.min_seed_size, config.max_gap_size)
+    else:
+        keep = seedextend.seedextend_mask_batch(
+            taxa, nkmers, config.min_seed_size, config.max_gap_size)
     hits = jnp.where(keep, taxa, 0)
 
     # uniq -d /: all ends and frames of a read group under one header

@@ -237,6 +237,19 @@ class Taxonomy:
             keep &= self.rank != ranks.NO_RANK
         return self.filter_ancestors(keep)
 
+    def seed_scores(self) -> np.ndarray:
+        """Vectorized TaxonList::score (src/taxon.rs:181-191): for every
+        node, the rank score of its nearest ranked-or-self-parent
+        ancestor; 0 encodes "no score" (None — absent nodes, and chains
+        ending in an unranked root). Used by scored seedextend, where 0
+        falls back to the gap penalty."""
+        keep = self.present & (self.rank != ranks.NO_RANK)
+        anc = self.filter_ancestors(keep)  # root is its own ancestor
+        out = np.zeros(self.size, dtype=np.int32)
+        ok = anc != NONE
+        out[ok] = ranks.RANK_SCORES[self.rank[anc[ok]]]
+        return out
+
     def rank_snapping(
         self,
         rank: int | None,
