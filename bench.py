@@ -36,7 +36,7 @@ import numpy as np
 REPO = os.path.dirname(os.path.abspath(__file__))
 DATA = os.path.join(REPO, ".bench_data")
 
-BATCH = 4096
+BATCH = 16384
 
 
 def ensure_workload():
@@ -154,7 +154,7 @@ def main():
         t0 = time.perf_counter()
         reps = 0
         acc = 0
-        while time.perf_counter() - t0 < 3.0:
+        while time.perf_counter() - t0 < 6.0:
             acc += int(np.asarray(jfn(ddna[reps % n_batches], dlen,
                                       dtable, dtax)))
             reps += 1

@@ -11,3 +11,12 @@ and returned the same way, and sample-level frequency tables merge with
 
 from .mesh import make_mesh  # noqa: F401
 from .sharded import ShardedTable, build_sharded_tables, make_sharded_pipeline  # noqa: F401
+from .multihost import (  # noqa: F401
+    flat_mesh,
+    global_batch,
+    init_distributed,
+    make_multihost_pipeline,
+    per_host_groups,
+    pod_mesh,
+)
+from .freq import sharded_rank_counts, sharded_taxa2freq_csv  # noqa: F401

@@ -104,12 +104,14 @@ class ShardedTable:
 
 def sharded_probe_local(local_hi, local_lo, local_valid,
                         shard_rows, max_probes: int,
-                        axis: str, default: int = 0,
+                        axis, default: int = 0,
                         kind: str = "kmer", nb_bits: int = 0,
                         bucket: int = 8):
     """Probe inside shard_map: local queries of any shape; the local
-    table shard's packed rows. Routes via all_to_all both ways."""
-    n = jax.lax.axis_size(axis)
+    table shard's packed rows. Routes via all_to_all both ways.
+    ``axis`` may be one mesh axis name or a tuple of names (host, chip)
+    — collectives then span the flattened product axis."""
+    n = jax.lax.psum(1, axis)
     shape = local_hi.shape
     hi = local_hi.reshape(-1)
     lo = local_lo.reshape(-1)
@@ -159,7 +161,7 @@ def sharded_probe_local(local_hi, local_lo, local_valid,
 
 
 def make_sharded_pipeline(dtax, stable: ShardedTable, config, mesh: Mesh,
-                          axis: str = "x", n_ranks: int | None = None):
+                          axis="x", n_ranks: int | None = None):
     """The fused pipeline under shard_map: reads data-parallel over the
     mesh, table sharded over the same axis, probes routed all-to-all,
     plus a psum-merged frequency vector over the FULL rank-snapped taxon
@@ -217,7 +219,8 @@ def make_sharded_pipeline(dtax, stable: ShardedTable, config, mesh: Mesh,
         in_specs=(P(axis), P(axis), P(axis, None, None)),
         out_specs=(P(axis), P()),
         check_vma=False,
-    )
+    )  # ``axis`` may be a tuple (host, chip): reads and table shards
+    # then split over the flattened product axis, host-major
 
     @jax.jit
     def step(dna, lengths, rows):
