@@ -12,6 +12,7 @@ interleaving makes its order unspecified; src/commands/pept2lca.rs:63-65).
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 from typing import List, Optional
 
@@ -693,6 +694,45 @@ def build_parser() -> argparse.ArgumentParser:
     sp.set_defaults(func=cmd_printindex)
 
     sp = sub.add_parser(
+        "setup",
+        help="Install/verify taxonomy + index data (umgap-setup.sh equivalent)",
+    )
+    sp.add_argument("-c", "--configdir", default=None,
+                    help="config directory (XDG discovery by default)")
+    sp.add_argument("-d", "--datadir", default=None,
+                    help="data directory (XDG discovery by default)")
+    sp.add_argument("-v", "--version", default=None,
+                    help="data version (default: ask the data server)")
+    sp.add_argument("-s", "--server", default=None,
+                    help="data server base URL")
+    sp.add_argument("--taxons", default=None,
+                    help="local taxons.tsv to install (offline setup)")
+    sp.add_argument("--tryptic", default=None,
+                    help="local tryptic .npz index to install")
+    sp.add_argument("--ninemer", default=None,
+                    help="local 9-mer .npz index to install")
+    sp.add_argument("-y", "--yes", action="store_true",
+                    help="non-interactive: install everything requested")
+    sp.set_defaults(func=cmd_setup)
+
+    sp = sub.add_parser(
+        "visualize",
+        help="Visualize analysis results (umgap-visualize.sh equivalent)",
+    )
+    grp = sp.add_mutually_exclusive_group(required=True)
+    grp.add_argument("-t", "--taxa-rank", default=None,
+                     help="CSV frequency table at this rank")
+    grp.add_argument("-w", "--web", action="store_true",
+                     help="HTML visualization via the Unipept API")
+    grp.add_argument("-u", "--url", action="store_true",
+                     help="print a shareable URL via the Unipept API")
+    sp.add_argument("-c", "--configdir", default=None)
+    sp.add_argument("--taxons", default=None,
+                    help="taxonomy TSV (default: config-dir discovery)")
+    sp.add_argument("input_files", nargs="+")
+    sp.set_defaults(func=cmd_visualize)
+
+    sp = sub.add_parser(
         "analyse",
         help="Run a preset pipeline end-to-end (umgap-analyse.sh equivalent)",
     )
@@ -702,9 +742,14 @@ def build_parser() -> argparse.ArgumentParser:
                              "tryptic-sensitivity", "tryptic-precision"])
     sp.add_argument("-1", "--first", required=True, help="FASTQ end 1")
     sp.add_argument("-2", "--second", default=None, help="FASTQ end 2")
-    sp.add_argument("--taxons", required=True, help="taxon TSV file")
-    sp.add_argument("--index", required=True,
-                    help="9-mer or tryptic index (.npz)")
+    sp.add_argument("--taxons", default=None,
+                    help="taxon TSV file (default: config-dir discovery, "
+                         "umgap-analyse.sh:233-241)")
+    sp.add_argument("--index", default=None,
+                    help="9-mer or tryptic index .npz (default: config-dir "
+                         "discovery)")
+    sp.add_argument("-c", "--configdir", default=None,
+                    help="config directory for data discovery")
     sp.add_argument("--batch-size", type=int, default=1024)
     sp.add_argument("--read-length", type=int, default=160)
     sp.add_argument("--trace-dir", default=None,
@@ -712,6 +757,108 @@ def build_parser() -> argparse.ArgumentParser:
     sp.set_defaults(func=cmd_analyse)
 
     return p
+
+
+def cmd_setup(args, stdin, stdout):
+    """umgap-setup.sh equivalent: create config/data dirs, negotiate a
+    data version, install artifacts (from the data server, or from local
+    files for offline setups), symlink into the config dir."""
+    from . import configdir as cfg
+
+    conf = args.configdir or cfg.default_config_dir()
+    data = args.datadir or cfg.default_data_dir()
+    server = args.server or cfg.DATASERVER
+
+    local = {}
+    if args.taxons:
+        local["taxons.tsv"] = args.taxons
+    if args.tryptic:
+        local["tryptic.npz"] = args.tryptic
+    if args.ninemer:
+        local["ninemer.npz"] = args.ninemer
+
+    version = args.version
+    if version is None:
+        if local:
+            raise CliError(
+                "Installing local files requires an explicit --version")
+        stdout.write("Checking the latest version on the server.\n")
+        try:
+            version = cfg.latest_server_version(server)
+        except Exception as e:
+            raise CliError(f"Could not retrieve version from server: {e}")
+        stdout.write(f"Latest version is {version}.\n")
+
+    if local:
+        cfg.install(conf, data, version, local,
+                    log=lambda m: stdout.write(m + "\n"))
+    elif args.yes:
+        sources = {}
+        for name, remote in (("taxons.tsv", "taxons.tsv"),
+                             ("tryptic.npz", "tryptic.fst"),
+                             ("ninemer.npz", "ninemer.fst")):
+            if not os.path.islink(os.path.join(conf, version, name)):
+                sources[name] = f"{server}/{version}/{remote}"
+        if sources:
+            cfg.install(conf, data, version, sources,
+                        log=lambda m: stdout.write(m + "\n"))
+    for name in cfg.FILES:
+        link = os.path.join(conf, version, name)
+        state = "available" if os.path.islink(link) else "missing"
+        stdout.write(f"{name} ({version}): {state}\n")
+
+
+def cmd_visualize(args, stdin, stdout):
+    """umgap-visualize.sh:122-154 equivalent: -t CSV frequency table,
+    -w HTML via taxa2tree, -u URL via taxa2tree. Gzipped inputs are
+    sniffed and decompressed; the CSV header strips directory names
+    (the reference's `sed '1s_,[^,]*/_,_g'`)."""
+    import re as _re
+
+    from . import configdir as cfg
+
+    def read_input(path: str) -> str:
+        with cfg.sniff_open(path) as f:
+            return f.read()
+
+    if args.taxa_rank is not None:
+        taxons = args.taxons
+        if taxons is None:
+            conf = args.configdir or cfg.default_config_dir()
+            version = cfg.discover_version(conf)
+            if version is None:
+                raise CliError("No taxon table found for frequency counting. "
+                               "Please run umgap-tpu setup.")
+            taxons = cfg.resolve(conf, version, "taxons.tsv")
+        import io as iomod
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as tmp:
+            # decompress into tmp files named like the reference's FIFOs
+            # (basename with non-alnum chars -> '_', umgap-visualize.sh:141)
+            paths = []
+            for p in args.input_files:
+                name = _re.sub(r"[^0-9A-Za-z.-]", "_", os.path.basename(p))
+                dst = os.path.join(tmp, name)
+                with cfg.sniff_open(p) as fsrc, open(dst, "w") as fdst:
+                    fdst.write(fsrc.read())
+                paths.append(dst)
+            out = iomod.StringIO()
+            ns = argparse.Namespace(rank=args.taxa_rank, frequency=1,
+                                    taxon_file=taxons, input_files=paths)
+            cmd_taxa2freq(ns, stdin, out)
+        text = out.getvalue()
+        lines = text.split("\n")
+        if lines:
+            lines[0] = _re.sub(r",[^,]*/", ",", lines[0])
+        stdout.write("\n".join(lines))
+        return
+
+    ns = argparse.Namespace(url=bool(args.url))
+    for path in args.input_files:
+        import io as iomod
+
+        cmd_taxa2tree(ns, iomod.StringIO(read_input(path)), stdout)
 
 
 def cmd_analyse(args, stdin, stdout):
@@ -729,8 +876,25 @@ def cmd_analyse(args, stdin, stdout):
 
     from .utils import device_trace
 
-    tax = _load_taxonomy(args.taxons)
-    table = _load_table(args.index)
+    taxons_path, index_path = args.taxons, args.index
+    if taxons_path is None or index_path is None:
+        # data-version discovery (umgap-analyse.sh:233-241)
+        from . import configdir as cfg
+
+        conf = args.configdir or cfg.default_config_dir()
+        tryptic = args.type in ("tryptic-sensitivity", "tryptic-precision")
+        version = cfg.discover_version(conf, tryptic=tryptic,
+                                       ninemer=not tryptic)
+        if version is None:
+            raise CliError("No data version found valid for all samples. "
+                           "Please run umgap-tpu setup.")
+        if taxons_path is None:
+            taxons_path = cfg.resolve(conf, version, "taxons.tsv")
+        if index_path is None:
+            index_path = cfg.resolve(
+                conf, version, "tryptic.npz" if tryptic else "ninemer.npz")
+    tax = _load_taxonomy(taxons_path)
+    table = _load_table(index_path)
     paths = [args.first] + ([args.second] if args.second else [])
     groups = list(read_groups_fastq(paths))
     with device_trace(getattr(args, "trace_dir", None)):

@@ -34,8 +34,11 @@ def encode_batch(groups: Sequence[Sequence[str]], ends: int, length: int):
 
 def read_groups_fastq(paths: Sequence[str], delimiter: str = "/"):
     """Yield (header, [sequences…]) groups from paired FASTQ files,
-    header stripped at the delimiter (uniq -d semantics)."""
-    handles = [open(p) for p in paths]
+    header stripped at the delimiter (uniq -d semantics). Gzipped
+    inputs are detected by magic bytes (umgap-analyse.sh:159-175)."""
+    from ..configdir import sniff_open
+
+    handles = [sniff_open(p) for p in paths]
     try:
         readers = [fastq.read_records(h) for h in handles]
         for group in fastq.interleave(readers):
