@@ -262,3 +262,28 @@ def test_cuckoo_valid_mask():
                                valid=valid, default=0)
     assert np.asarray(vals).tolist() == [42, 0]
     assert np.asarray(found).tolist() == [True, False]
+
+
+def test_translate6_batch_long_reads():
+    """L > 160 takes the gather revcomp path (no O(L^2) selector)."""
+    rng = np.random.default_rng(9)
+    t = encoding.get_table(1)
+    B, L = 5, 300
+    dna = np.full((B, L), encoding.DNA_N, dtype=np.uint8)
+    lens = np.zeros(B, dtype=np.int32)
+    seqs = []
+    for i in range(B):
+        n = int(rng.integers(1, L + 1))
+        s = "".join(rng.choice(list("ACGTN"), size=n))
+        seqs.append(s)
+        c = encoding.encode_dna(s)
+        dna[i, :n] = c
+        lens[i] = n
+    aa, plens = translate.translate6_batch(dna, lens, t)
+    aa = np.asarray(aa)
+    plens = np.asarray(plens)
+    for i, s in enumerate(seqs):
+        host = translate.translate_sequence(s, list(translate.FRAME_NAMES), t)
+        for f in range(6):
+            got = encoding.decode_aa(aa[i, f, : plens[i, f]])
+            assert got == host[f], (i, translate.FRAME_NAMES[f])

@@ -94,28 +94,39 @@ def dedup_counts(taxa: jax.Array, weights: jax.Array, k_max: int):
     B, N = taxa.shape
     t = jnp.where(taxa > 0, taxa, I32_MAX)
     w = jnp.where(taxa > 0, weights, 0.0)
-    # Equality matrix: counts and first-occurrence flags without any
-    # sort-gather or scatter (TPU scatters serialize; per-row gathers are
-    # ~13 ns/element — the (N, N) compare+reduce is far cheaper on VPU).
-    eq = t[:, :, None] == t[:, None, :]  # (B, N, N)
-    cnt = jnp.sum(jnp.where(eq, w[:, None, :], 0.0), axis=-1)
-    pos = jnp.arange(N, dtype=jnp.int32)
-    earlier = eq & (pos[None, None, :] < pos[None, :, None])
-    first = ~jnp.any(earlier, axis=-1) & (t != I32_MAX)
-    # Compact unique entries to the left in first-occurrence order via a
-    # one-hot contraction (a lax.sort here costs ~5 ms at bench shapes;
-    # the matmul runs on the MXU). Taxon ids are < 2^24, exact in f32.
+    # Sort each row by taxon id, then run-length count with neighbor
+    # compares and a cumsum-difference — O(N log^2 N) sort-network
+    # passes instead of the previous (B, N, N) equality matrix, which
+    # dominated aggregation time at production batch sizes. Output is in
+    # ascending-id order (order-independent downstream; the rmq-lca
+    # walk's documented pin is ascending ids anyway). When unique > k_max
+    # the k_max SMALLEST ids are kept.
+    ts, ws = jax.lax.sort((t, w), dimension=-1, num_keys=1)
+    prev = jnp.concatenate([jnp.full((B, 1), -1, ts.dtype), ts[:, :-1]],
+                           axis=-1)
+    nxt = jnp.concatenate([ts[:, 1:], jnp.full((B, 1), -1, ts.dtype)],
+                          axis=-1)
+    valid = ts != I32_MAX
+    first = (ts != prev) & valid
+    last = (ts != nxt) & valid
+    cw = jnp.cumsum(ws, axis=-1)        # inclusive prefix of weights
+    ecw = cw - ws                       # exclusive
     K = min(k_max, N)
-    tgt = jnp.cumsum(first.astype(jnp.int32), axis=-1) - 1  # (B, N)
-    tgt = jnp.where(first, tgt, -1)
-    sel = (tgt[:, :, None] == jnp.arange(K, dtype=jnp.int32)
-           ).astype(jnp.float32)  # (B, N, K)
-    key = jnp.einsum("bnk,bn->bk", sel, t.astype(jnp.float32),
+    runidx = jnp.cumsum(first.astype(jnp.int32), axis=-1) - 1  # (B, N)
+    slots = jnp.arange(K, dtype=jnp.int32)
+    sel_first = ((runidx[:, :, None] == slots) & first[:, :, None]
+                 ).astype(jnp.float32)  # (B, N, K)
+    sel_last = ((runidx[:, :, None] == slots) & last[:, :, None]
+                ).astype(jnp.float32)
+    # Taxon ids are < 2^24, exact in f32 on the MXU.
+    key = jnp.einsum("bnk,bn->bk", sel_first, ts.astype(jnp.float32),
                      preferred_element_type=jnp.float32)
-    cntk = jnp.einsum("bnk,bn->bk", sel, cnt,
-                      preferred_element_type=jnp.float32)
-    filled = jnp.arange(K, dtype=jnp.int32)[None, :] < jnp.sum(
-        first, axis=-1, dtype=jnp.int32)[:, None]
+    cntk = (jnp.einsum("bnk,bn->bk", sel_last, cw,
+                       preferred_element_type=jnp.float32)
+            - jnp.einsum("bnk,bn->bk", sel_first, ecw,
+                         preferred_element_type=jnp.float32))
+    filled = slots[None, :] < jnp.sum(first, axis=-1,
+                                      dtype=jnp.int32)[:, None]
     key = jnp.where(filled, key.astype(jnp.int32), I32_MAX)
     if k_max > N:
         pad = ((0, 0), (0, k_max - N))

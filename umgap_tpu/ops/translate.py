@@ -119,18 +119,27 @@ def translate6_batch(dna: jax.Array, lengths: jax.Array, table: TranslationTable
 
     # Reverse-complement with per-read length: rc[i] = comp(dna[len-1-i]).
     # A static flip gives e[j] = d[L-1-j]; the per-read part is then a
-    # left-shift by s = L - len. A take_along_axis gather costs ~13 ns
-    # per element here; instead express the shift as a fused one-hot
-    # contraction (compare + multiply-reduce, DNA codes < 5 are exact in
-    # bf16) — no gathers at all.
+    # left-shift by s = L - len.
     fwd = jnp.where(d <= 4, d, jnp.int32(encoding.DNA_N))  # sanitize padding
     e = jnp.flip(fwd, axis=1)
-    e = jnp.where(e < 4, 3 - e, 4).astype(jnp.bfloat16)  # complement
-    shift = (jnp.int32(L) - lengths).reshape(B, 1, 1)
-    i_idx = jnp.arange(L, dtype=jnp.int32).reshape(1, L, 1)
-    j_idx = jnp.arange(L, dtype=jnp.int32).reshape(1, 1, L)
-    sel = (j_idx == i_idx + shift).astype(jnp.bfloat16)  # (B, L, L)
-    rc = jnp.einsum("bij,bj->bi", sel, e).astype(jnp.int32)
+    if L <= 160:
+        # Short reads (the metagenomic case): the shift as a fused
+        # one-hot contraction (compare + multiply-reduce, DNA codes < 5
+        # exact in bf16) — no gathers, measured faster than
+        # take_along_axis at L=100. Quadratic in L, hence the cap.
+        eb = jnp.where(e < 4, 3 - e, 4).astype(jnp.bfloat16)  # complement
+        shift = (jnp.int32(L) - lengths).reshape(B, 1, 1)
+        i_idx = jnp.arange(L, dtype=jnp.int32).reshape(1, L, 1)
+        j_idx = jnp.arange(L, dtype=jnp.int32).reshape(1, 1, L)
+        sel = (j_idx == i_idx + shift).astype(jnp.bfloat16)  # (B, L, L)
+        rc = jnp.einsum("bij,bj->bi", sel, eb).astype(jnp.int32)
+    else:
+        # Long reads: O(B*L) take_along_axis gather (~13 ns/element)
+        # instead of the O(B*L^2) selector.
+        ec = jnp.where(e < 4, 3 - e, 4)
+        shift = (jnp.int32(L) - lengths).astype(jnp.int32)
+        idx = jnp.clip(pos + shift[:, None], 0, L - 1)
+        rc = jnp.take_along_axis(ec, idx, axis=1)
     rc = jnp.where(pos < lengths[:, None], rc, jnp.int32(encoding.DNA_N))
 
     # pad so strided codon slices stay in range for every frame offset

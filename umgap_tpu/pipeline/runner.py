@@ -160,23 +160,33 @@ def analyse_paired(fastq1: str, fastq2: str, tax: Taxonomy, table,
     config = PRESETS[preset] if isinstance(preset, str) else preset
     analyser = Analyser(tax, table, config, batch_size, read_length, ends=2)
     results = None
+    # Fall back to the Python parser only for EXPECTED conditions (the
+    # toolchain is unavailable, or the input is gzipped — the native
+    # parser reads raw files). Real parser bugs must fail loudly, not
+    # silently degrade into a 10x slower path.
+    native_ok = False
     if use_native:
-        try:
-            from ..io import native
+        from ..io import native
 
-            if native.ensure_built():
-                h1, c1, l1 = native.parse_fastq_file(fastq1, read_length)
-                h2, c2, l2 = native.parse_fastq_file(fastq2, read_length)
-                n = min(len(h1), len(h2))  # Zip semantics: stop at shortest
-                headers = []
-                for h in h1[:n]:
-                    idx = h.find("/")
-                    headers.append(h[:idx] if idx != -1 else h)
-                dna = np.stack([c1[:n], c2[:n]], axis=1)
-                lens = np.stack([l1[:n], l2[:n]], axis=1)
-                results = list(analyser.analyse_arrays(headers, dna, lens))
-        except Exception:
-            results = None
+        try:
+            native_ok = native.ensure_built()
+        except (OSError, RuntimeError):
+            native_ok = False
+        for p in (fastq1, fastq2):
+            with open(p, "rb") as f:
+                if f.read(2) == b"\x1f\x8b":
+                    native_ok = False  # gzipped: python path decompresses
+    if native_ok:
+        h1, c1, l1 = native.parse_fastq_file(fastq1, read_length)
+        h2, c2, l2 = native.parse_fastq_file(fastq2, read_length)
+        n = min(len(h1), len(h2))  # Zip semantics: stop at shortest
+        headers = []
+        for h in h1[:n]:
+            idx = h.find("/")
+            headers.append(h[:idx] if idx != -1 else h)
+        dna = np.stack([c1[:n], c2[:n]], axis=1)
+        lens = np.stack([l1[:n], l2[:n]], axis=1)
+        results = list(analyser.analyse_arrays(headers, dna, lens))
     if results is None:
         groups = read_groups_fastq([fastq1, fastq2])
         results = list(analyser.analyse_groups(groups))
