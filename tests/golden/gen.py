@@ -133,11 +133,14 @@ def build_indexes(taxa_rows):
             out.append(cur)
         return out
 
+    truth = []
     for pair_idx, (r1, r2) in enumerate(zip(a1, a2)):
         sp = int(species[int(rng.integers(0, len(species)))])
         anc = [a for a in ancestors(sp) if a != 1]
         # ~8% of pairs are "unknown": their k-mers map only to noise
         known = rng.random() > 0.08
+        header = r1[0].split("/")[0]
+        truth.append((header, sp if known else 0))
         for end_idx, (_h, seq, _q) in enumerate((r1, r2)):
             fwd = R.to_strand(seq)
             rev = R.reverse_complement(fwd)
@@ -176,7 +179,7 @@ def build_indexes(taxa_rows):
                         tid = int(all_valid[int(rng.integers(0, len(all_valid)))])
                         tryptic.setdefault(pep, tid)
 
-    return ninemer, tryptic
+    return ninemer, tryptic, truth
 
 
 def index_tsv(index) -> str:
@@ -196,11 +199,15 @@ def main():
     with open(os.path.join(DATA, "taxonomy.tsv"), "w") as f:
         f.write(tax_tsv)
 
-    ninemer, tryptic = build_indexes(taxa_rows)
+    ninemer, tryptic, truth = build_indexes(taxa_rows)
     with open(os.path.join(DATA, "ninemer.tsv"), "w") as f:
         f.write(index_tsv(ninemer))
     with open(os.path.join(DATA, "tryptic.tsv"), "w") as f:
         f.write(index_tsv(tryptic))
+    # planted ground truth per pair (0 = noise-only pair), for the
+    # accuracy assertions in tests/test_analyse_cmd.py
+    with open(os.path.join(DATA, "ground_truth.tsv"), "w") as f:
+        f.write("".join(f"{h}\t{sp}\n" for h, sp in truth))
     print(f"taxonomy: {len(taxa_rows)} nodes; ninemer: {len(ninemer)} keys; "
           f"tryptic: {len(tryptic)} keys")
 

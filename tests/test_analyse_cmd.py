@@ -77,3 +77,82 @@ def test_analyse_tryptic_runs(world, tmp_path):
         stdin=io.StringIO(""), stdout=out)
     assert rc == 0
     assert out.getvalue().count(">") == 100
+
+
+def _ancestor_chain(by_parent, t):
+    out = set()
+    cur = t
+    while True:
+        out.add(cur)
+        p = by_parent.get(cur)
+        if p is None or p == cur:
+            break
+        cur = p
+    return out
+
+
+def test_analyse_ground_truth_accuracy(tmp_path):
+    """analyse vs the planted per-pair ground truth of the golden corpus
+    (tests/golden/data/ground_truth.tsv): known pairs must resolve to
+    their species or an ancestor, noise pairs must stay unassigned."""
+    golden_dir = os.path.join(os.path.dirname(__file__), "golden")
+    data = os.path.join(golden_dir, "data")
+    if not os.path.exists(os.path.join(TESTDATA, "A1.fq")):
+        pytest.skip("reference testdata not available")
+
+    # build the committed ninemer index
+    from umgap_tpu.index.build import build_table
+
+    rows = []
+    with open(os.path.join(data, "ninemer.tsv")) as f:
+        for line in f:
+            k, v = line.rstrip("\n").split("\t")
+            rows.append((k, int(v)))
+    table = build_table(rows, kind="kmer")
+    idxfile = tmp_path / "nine.npz"
+    table.save(idxfile)
+
+    out = io.StringIO()
+    rc = cli_main(
+        ["analyse", "-t", "high-sensitivity",
+         "-1", os.path.join(TESTDATA, "A1.fq"),
+         "-2", os.path.join(TESTDATA, "A2.fq"),
+         "--taxons", os.path.join(data, "taxonomy.tsv"),
+         "--index", str(idxfile),
+         "--batch-size", "32", "--read-length", "100"],
+        stdin=io.StringIO(""), stdout=out)
+    assert rc == 0
+
+    truth = {}
+    with open(os.path.join(data, "ground_truth.tsv")) as f:
+        for line in f:
+            h, sp = line.rstrip("\n").split("\t")
+            truth[h] = int(sp)
+    by_parent = {}
+    with open(os.path.join(data, "taxonomy.tsv")) as f:
+        for line in f:
+            cells = line.rstrip("\n").split("\t")
+            by_parent[int(cells[0])] = int(cells[3])
+
+    got = {}
+    for block in out.getvalue().split(">")[1:]:
+        ls = block.splitlines()
+        got[ls[0]] = int(ls[1])
+    assert len(got) == 100
+
+    known_ok = known_tot = exact = unk_ok = unk_tot = 0
+    for h, result in got.items():
+        t = truth[h]
+        if t == 0:
+            unk_tot += 1
+            unk_ok += result == 1
+        else:
+            known_tot += 1
+            ok = result in _ancestor_chain(by_parent, t)
+            known_ok += ok
+            exact += result == t
+    # measured on the committed corpus: 93/93 anc-or-self, 74 exact,
+    # 7/7 unassigned; thresholds leave margin for future pipeline edits
+    assert known_ok / known_tot >= 0.90
+    assert exact / known_tot >= 0.60
+    assert unk_ok / unk_tot >= 0.85

@@ -18,14 +18,19 @@ from typing import Iterator, Optional
 
 
 def sync(*arrays) -> None:
-    """Block until the given jax arrays (or all async work) are done."""
+    """Block until the given jax arrays (or all async work) are done.
+
+    On the tunneled axon platform ``block_until_ready`` returns without
+    actually blocking (observed in bench.py), so the only honest
+    barrier is a host materialization: transfer the given arrays (or a
+    dependency-free trivial computation) to numpy."""
     import jax
+    import numpy as _np
 
     if arrays:
-        jax.block_until_ready(arrays)
+        jax.tree_util.tree_map(_np.asarray, arrays)
     else:
-        # materializing a trivial computation flushes the dispatch queue
-        jax.block_until_ready(jax.numpy.zeros(()))
+        _np.asarray(jax.numpy.zeros(()))
 
 
 class StageTimer:
