@@ -181,3 +181,164 @@ long umgap_split_kmers(const char* buf, long n, int k,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------
+// joinkmers core: group sorted (key, snapped-tid) rows and aggregate
+// each group with tree-hybrid f=factor (the reference's joinkmers
+// semantics, src/commands/joinkmers.rs:62-104: inputs are already
+// snapped to valid ancestors; the result is rank-snapped by the
+// caller-provided ranksnap vector). Multithreaded over group-aligned
+// ranges. Pinned tie-break: heaviest child, ties -> smallest child id
+// (matches umgap_tpu/agg and the parity oracle).
+// ---------------------------------------------------------------------
+
+#include <algorithm>
+#include <thread>
+#include <utility>
+#include <vector>
+
+namespace {
+
+// tree-hybrid descent over one group's (tid, count) pairs using the
+// parent vector; counts in float (f32) like the reference.
+int32_t tree_mix_group(const std::pair<int64_t, float>* items, int n,
+                       const int32_t* parent, float factor,
+                       std::vector<std::vector<int32_t>>* lineages) {
+    lineages->clear();
+    int maxd = 0;
+    float total = 0.0f;
+    for (int i = 0; i < n; i++) {
+        std::vector<int32_t> lin;
+        int32_t cur = (int32_t)items[i].first;
+        while (true) {
+            lin.push_back(cur);
+            if (parent[cur] == cur) break;
+            cur = parent[cur];
+        }
+        std::reverse(lin.begin(), lin.end());
+        maxd = std::max(maxd, (int)lin.size());
+        lineages->push_back(std::move(lin));
+        total += items[i].second;
+    }
+    int32_t x = (*lineages)[0][0];  // root
+    float base = total;
+    for (int d = 0; d + 1 < maxd; d++) {
+        int32_t best_child = -1;
+        float best_sum = 0.0f;
+        int n_branches = 0;
+        // branches at depth d+1 under x (n is tiny; quadratic scan)
+        for (int i = 0; i < n; i++) {
+            const auto& lin = (*lineages)[i];
+            if ((int)lin.size() <= d + 1 || lin[d] != x) continue;
+            int32_t b = lin[d + 1];
+            // sum counts sharing this branch; count distinct branches
+            bool seen_before = false;
+            for (int j = 0; j < i; j++) {
+                const auto& lj = (*lineages)[j];
+                if ((int)lj.size() > d + 1 && lj[d] == x && lj[d + 1] == b) {
+                    seen_before = true;
+                    break;
+                }
+            }
+            if (seen_before) continue;
+            n_branches++;
+            float s = 0.0f;
+            for (int j = 0; j < n; j++) {
+                const auto& lj = (*lineages)[j];
+                if ((int)lj.size() > d + 1 && lj[d] == x && lj[d + 1] == b)
+                    s += items[j].second;
+            }
+            if (best_child < 0 || s > best_sum ||
+                (s == best_sum && b < best_child)) {
+                best_child = b;
+                best_sum = s;
+            }
+        }
+        if (n_branches == 0) break;
+        if (n_branches > 1) {
+            if (best_sum / base < factor) break;
+            base = best_sum;
+        }
+        x = best_child;
+    }
+    return x;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Sorted (keys, snapped) rows -> one (key, rank-snapped aggregate) per
+// group. snapped[i] < 0 marks a dropped row (unknown taxon). Returns
+// the number of output groups. out_keys/out_vals must have room for one
+// entry per distinct key.
+long long umgap_join_kmers(const unsigned long long* keys,
+                           const long long* snapped, long long n,
+                           const int* parent, const int* ranksnap,
+                           long long n_tax, float factor, int n_threads,
+                           unsigned long long* out_keys, int* out_vals) {
+    if (n <= 0) return 0;
+    if (n_threads <= 0) n_threads = (int)std::thread::hardware_concurrency();
+    if (n_threads <= 0) n_threads = 2;
+
+    // group-aligned range starts
+    std::vector<long long> starts;
+    for (int t = 0; t <= n_threads; t++) {
+        long long pos = n * t / n_threads;
+        while (pos > 0 && pos < n && keys[pos] == keys[pos - 1]) pos++;
+        starts.push_back(std::min(pos, n));
+    }
+
+    std::vector<std::vector<unsigned long long>> tkeys(n_threads);
+    std::vector<std::vector<int>> tvals(n_threads);
+
+    auto work = [&](int t) {
+        long long lo = starts[t], hi = starts[t + 1];
+        std::vector<std::pair<int64_t, float>> items;
+        std::vector<std::vector<int32_t>> lineages;
+        long long i = lo;
+        while (i < hi) {
+            unsigned long long key = keys[i];
+            items.clear();
+            for (; i < hi && keys[i] == key; i++) {
+                long long tid = snapped[i];
+                if (tid < 0 || tid >= n_tax) continue;
+                bool found = false;
+                for (auto& it : items)
+                    if (it.first == tid) { it.second += 1.0f; found = true; break; }
+                if (!found) items.emplace_back(tid, 1.0f);
+            }
+            if (items.empty()) continue;
+            // pinned ascending-id order (matches the numpy path's
+            // lexsort; affects only >group_cap truncation, none here)
+            std::sort(items.begin(), items.end());
+            int32_t agg;
+            if (items.size() == 1) {
+                agg = (int32_t)items[0].first;
+            } else {
+                agg = tree_mix_group(items.data(), (int)items.size(), parent,
+                                     factor, &lineages);
+            }
+            tkeys[t].push_back(key);
+            tvals[t].push_back(ranksnap[agg]);
+        }
+    };
+
+    std::vector<std::thread> threads;
+    for (int t = 0; t < n_threads; t++) threads.emplace_back(work, t);
+    for (auto& th : threads) th.join();
+
+    long long out = 0;
+    for (int t = 0; t < n_threads; t++) {
+        const auto& ks = tkeys[t];
+        const auto& vs = tvals[t];
+        for (size_t j = 0; j < ks.size(); j++) {
+            out_keys[out] = ks[j];
+            out_vals[out] = vs[j];
+            out++;
+        }
+    }
+    return out;
+}
+
+}  // extern "C"

@@ -73,3 +73,17 @@ def test_empty_and_all_invalid(tax):
         np.array([5, 5], dtype=np.uint64),
         np.array([999999, -3], dtype=np.int64), tax)
     assert len(keys) == 0
+
+
+def test_native_matches_numpy(tax):
+    from umgap_tpu.io import native as nat
+
+    if not nat.available():
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(21)
+    packed, tids = _random_rows(rng, 500, 8000, 3000)
+    nk, nv = join_kmers_sorted(packed, tids, tax, use_native=True)
+    pk, pv = join_kmers_sorted(packed, tids, tax, group_cap=64,
+                               use_native=False)
+    assert np.array_equal(nk, pk)
+    assert np.array_equal(nv, pv)

@@ -86,8 +86,14 @@ def _tree_mix_np(utaxa: np.ndarray, ucounts: np.ndarray, valid: np.ndarray,
 def join_kmers_sorted(
     packed: np.ndarray, tids: np.ndarray, tax: Taxonomy,
     group_cap: int = 64, batch: int = 262_144,
+    use_native: bool = True,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """joinkmers over sorted packed keys, fully vectorized.
+
+    With ``use_native`` (default) and the C++ runtime available, the
+    grouped aggregation runs in native/umgap_native.cpp
+    (multithreaded; no group_cap truncation); the numpy path below is
+    the portable fallback and the equivalence oracle.
 
     Args:
       packed: (N,) uint64 k-mer keys, ascending (duplicates = group).
@@ -107,6 +113,18 @@ def join_kmers_sorted(
     in_range = (tids >= 0) & (tids < tax.size)
     snapped = np.where(in_range, validsnap[np.clip(tids, 0, tax.size - 1)],
                        NONE)
+
+    if use_native:
+        try:
+            from ..io.native import join_kmers_native
+
+            return join_kmers_native(
+                packed, snapped.astype(np.int64),
+                np.where(tax.present, tax.parent, 0).astype(np.int32),
+                ranksnap.astype(np.int32), JOINKMERS_FACTOR)
+        except (RuntimeError, OSError):
+            pass  # toolchain unavailable: numpy fallback below
+
     mask = snapped != NONE
     p = packed[mask]
     s = snapped[mask].astype(np.int64)

@@ -27,14 +27,15 @@ def ensure_built(quiet: bool = True) -> bool:
     global _lib
     if _lib is not None:
         return True
-    if not os.path.exists(_LIB_PATH):
-        try:
-            subprocess.run(
-                ["make", "-C", _NATIVE_DIR],
-                check=True,
-                capture_output=quiet,
-            )
-        except Exception:
+    try:
+        # make is a no-op when the .so is fresh; rebuilds stale ones
+        subprocess.run(
+            ["make", "-C", _NATIVE_DIR],
+            check=True,
+            capture_output=quiet,
+        )
+    except Exception:
+        if not os.path.exists(_LIB_PATH):
             return False
     try:
         lib = ctypes.CDLL(_LIB_PATH)
@@ -56,8 +57,52 @@ def ensure_built(quiet: bool = True) -> bool:
         ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_int32),
         ctypes.c_long,
     ]
+    if hasattr(lib, "umgap_join_kmers"):
+        lib.umgap_join_kmers.restype = ctypes.c_longlong
+        lib.umgap_join_kmers.argtypes = [
+            ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_longlong,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_longlong, ctypes.c_float, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_int32),
+        ]
     _lib = lib
     return True
+
+
+def join_kmers_native(keys: np.ndarray, snapped: np.ndarray,
+                      parent: np.ndarray, ranksnap: np.ndarray,
+                      factor: float = 0.95,
+                      n_threads: int = 0) -> Tuple[np.ndarray, np.ndarray]:
+    """Native grouped joinkmers aggregation over sorted rows.
+
+    Args:
+      keys: (N,) uint64 sorted packed k-mers (duplicates = one group).
+      snapped: (N,) int64 valid-ancestor-snapped taxids (< 0 = dropped).
+      parent: (T,) int32 parent vector; ranksnap: (T,) int32 ranked snap.
+
+    Returns (out_keys uint64, out_vals int32), one entry per surviving
+    group, in key order.
+    """
+    if not available() or not hasattr(_lib, "umgap_join_kmers"):
+        raise RuntimeError("native join_kmers unavailable")
+    keys = np.ascontiguousarray(keys, dtype=np.uint64)
+    snapped = np.ascontiguousarray(snapped, dtype=np.int64)
+    parent = np.ascontiguousarray(parent, dtype=np.int32)
+    ranksnap = np.ascontiguousarray(ranksnap, dtype=np.int32)
+    out_keys = np.zeros(len(keys), dtype=np.uint64)
+    out_vals = np.zeros(len(keys), dtype=np.int32)
+    n = _lib.umgap_join_kmers(
+        keys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        snapped.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(keys),
+        parent.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ranksnap.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        len(parent), ctypes.c_float(factor), n_threads,
+        out_keys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        out_vals.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return out_keys[:n], out_vals[:n]
 
 
 def available() -> bool:
