@@ -615,8 +615,14 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = sub.add_parser("pept2lca", help="Look up peptides in an index")
     sp.add_argument("-o", "--one-on-one", action="store_true")
-    sp.add_argument("-m", "--in-memory", action="store_true")
-    sp.add_argument("-c", "--chunksize", type=int, default=240)
+    # -m/-c are the reference's mmap-vs-RAM and thread-chunking knobs
+    # (src/commands/pept2lca.rs:58-69); accepted for pipeline
+    # compatibility, no-ops here (tables always load into memory and
+    # lookups are batched wholesale)
+    sp.add_argument("-m", "--in-memory", action="store_true",
+                    help="compatibility no-op (always in memory)")
+    sp.add_argument("-c", "--chunksize", type=int, default=240,
+                    help="compatibility no-op (lookups are batched)")
     sp.add_argument("fst_file")
     sp.set_defaults(func=cmd_pept2lca)
 

@@ -46,16 +46,30 @@ def build_sharded_tables(packed: np.ndarray, values: np.ndarray, k: int,
     max_n = max(
         (int((owner == s).sum()) for s in range(n_shards)), default=1)
     cap = _pow2_capacity(max_n, load_factor, BUCKET << MIN_NB_BITS)
-    while True:
+    # Build shard-by-shard; a shard that fails its probe limits doubles
+    # the COMMON capacity and only the failed/remaining shards rebuild
+    # (already-built smaller shards are rebuilt once at the end so all
+    # stacked rows stay rectangular).
+    shards: list = []
+    s = 0
+    grew = False
+    while s < n_shards:
         try:
-            shards = [
+            shards.append(
                 build_kmer_table(packed[owner == s], values[owner == s], k,
-                                 layout=layout, capacity=cap)
-                for s in range(n_shards)
-            ]
-            return shards
+                                 layout=layout, capacity=cap))
+            s += 1
         except RuntimeError:
             cap *= 2
+            grew = True
+    if grew:
+        shards = [
+            t if t.capacity == cap else build_kmer_table(
+                packed[owner == i], values[owner == i], k,
+                layout=layout, capacity=cap)
+            for i, t in enumerate(shards)
+        ]
+    return shards
 
 
 @jax.tree_util.register_pytree_node_class
