@@ -172,3 +172,50 @@ def test_analyse_gzip_and_configdir(tmp_path):
     with open(os.path.join(os.path.dirname(DATA), "expected",
                            "pipeline_high_sensitivity.golden")) as f:
         assert got == f.read()
+
+
+def test_analyse_multi_sample(tmp_path):
+    """umgap-analyse.sh multi-sample mode: repeated -1/-2/-t/-z/-o
+    groups sharing loaded indexes; single-end FASTA input; gzip output."""
+    import io as iomod
+
+    from tests.test_golden import DATA, A1, A2, data, golden
+    if not os.path.exists(A1):
+        pytest.skip("reference testdata not available")
+
+    class _BinOut(iomod.StringIO):
+        def __init__(self):
+            super().__init__()
+            self.buffer = iomod.BytesIO()
+
+    out = _BinOut()
+    rc = main(["buildindex"], stdin=iomod.StringIO(data("ninemer.tsv")),
+              stdout=out)
+    assert rc == 0
+    idx = tmp_path / "ninemer.npz"
+    idx.write_bytes(out.buffer.getvalue())
+    tx = os.path.join(DATA, "taxonomy.tsv")
+
+    out1 = tmp_path / "s1.fa"
+    out2gz = tmp_path / "s2.fa.gz"
+    rc, text = run([
+        "analyse", "--taxons", tx, "--index", str(idx),
+        "--batch-size", "32", "--read-length", "100",
+        "-t", "high-sensitivity", "-1", A1, "-2", A2, "-o", str(out1),
+        "-t", "max-sensitivity", "-1", A1, "-2", A2, "-z", "-o", str(out2gz),
+    ])
+    assert rc == 0
+    assert out1.read_text() == golden("pipeline_high_sensitivity")
+    with gzip.open(out2gz, "rt") as f:
+        assert f.read() == golden("pipeline_max_sensitivity")
+
+    # single-end FASTA form (the script's one-file mode): 100 records
+    fasta_in = tmp_path / "reads.fa"
+    # derive a FASTA from A1 only
+    rc, fa = run(["fastq2fasta", A1])
+    fasta_in.write_text(fa)
+    rc, text = run(["analyse", "--taxons", tx, "--index", str(idx),
+                    "--batch-size", "32", "--read-length", "100",
+                    "-t", "max-sensitivity", "-1", str(fasta_in)])
+    assert rc == 0
+    assert text.count(">") == 100

@@ -742,12 +742,22 @@ def build_parser() -> argparse.ArgumentParser:
         "analyse",
         help="Run a preset pipeline end-to-end (umgap-analyse.sh equivalent)",
     )
-    sp.add_argument("-t", "--type", default="high-precision",
+    sp.add_argument("-t", "--type", action=_SampleAction,
+                    default="high-precision",
                     choices=["max-sensitivity", "high-sensitivity",
                              "high-precision", "max-precision",
                              "tryptic-sensitivity", "tryptic-precision"])
-    sp.add_argument("-1", "--first", required=True, help="FASTQ end 1")
-    sp.add_argument("-2", "--second", default=None, help="FASTQ end 2")
+    sp.add_argument("-1", "--first", action=_SampleAction,
+                    help="FASTA (single-end) or FASTQ end-1 file; may be "
+                         "gzipped; repeatable per sample")
+    sp.add_argument("-2", "--second", action=_SampleAction, default=None,
+                    help="FASTQ end 2")
+    sp.add_argument("-o", "--output", action=_SampleAction, default=None,
+                    help="output file ('-' = stdout); closes a sample "
+                         "group, repeatable (umgap-analyse.sh multi-sample "
+                         "mode: loaded indexes are shared between samples)")
+    sp.add_argument("-z", "--compress", action=_SampleAction, nargs=0,
+                    help="gzip-compress the next output file")
     sp.add_argument("--taxons", default=None,
                     help="taxon TSV file (default: config-dir discovery, "
                          "umgap-analyse.sh:233-241)")
@@ -867,11 +877,72 @@ def cmd_visualize(args, stdin, stdout):
         cmd_taxa2tree(ns, iomod.StringIO(read_input(path)), stdout)
 
 
+class _SampleAction(argparse.Action):
+    """Records option order so `analyse` can reconstruct per-sample
+    groups (umgap-analyse.sh's repeated -1/-2/-t/-z/-o series)."""
+
+    def __call__(self, parser, namespace, values, option_string=None):
+        seq = getattr(namespace, "_sequence", None)
+        if seq is None:
+            seq = []
+            setattr(namespace, "_sequence", seq)
+        seq.append((self.dest, values))
+        if self.dest != "compress":
+            setattr(namespace, self.dest, values)
+
+
+def _analyse_samples(args):
+    """Per-sample groups from the recorded option order. Each `-o`
+    closes a sample and resets type/inputs/compress to defaults
+    (umgap-analyse.sh:208-213). Without any `-o`, the whole invocation
+    is one stdout sample (back-compat)."""
+    seq = getattr(args, "_sequence", []) or []
+    samples = []
+    fresh = dict(type="high-precision", first=None, second=None,
+                 compress=False, output=None)
+    cur = dict(fresh)
+    for key, val in seq:
+        if key == "compress":
+            cur["compress"] = True
+        elif key == "output":
+            if cur["first"] is None:
+                raise CliError(
+                    "Encountered an output file without input files.")
+            cur["output"] = val
+            samples.append(cur)
+            cur = dict(fresh)
+        else:
+            cur[key] = val
+    if cur["first"] is not None and cur["output"] is None and not samples:
+        samples.append(cur)  # single sample, stdout
+    elif cur["first"] is not None and samples:
+        raise CliError("Trailing input files without an output file.")
+    if not samples:
+        raise CliError("No samples given (need at least -1 <reads>).")
+    return samples
+
+
+def _read_groups_fasta(path: str, delimiter: str = "/"):
+    """Single-end FASTA ingest (analyse.sh's one-file form), gzip
+    sniffed; one group per record."""
+    from .configdir import sniff_open
+
+    with sniff_open(path) as f:
+        for rec in fasta.read_records(f, unwrap=True):
+            header = rec.header
+            idx = header.find(delimiter)
+            if idx != -1:
+                header = header[:idx]
+            yield header, [rec.sequence[0] if rec.sequence else ""]
+
+
 def cmd_analyse(args, stdin, stdout):
     """The six preset pipelines, fused on device
     (scripts/umgap-analyse.sh:276-311; FGSpp replaced by 6-frame
-    translation for the non-tryptic front end)."""
-    from .index.table import load_table
+    translation for the non-tryptic front end). Supports the script's
+    multi-sample mode: repeated -1/-2/-t/-z/-o groups share the loaded
+    taxonomy and device-resident indexes across samples (the analogue
+    of its socket index service)."""
     from .pipeline import (
         PRESETS,
         TRYPTIC_PRESETS,
@@ -882,39 +953,73 @@ def cmd_analyse(args, stdin, stdout):
 
     from .utils import device_trace
 
-    taxons_path, index_path = args.taxons, args.index
-    if taxons_path is None or index_path is None:
-        # data-version discovery (umgap-analyse.sh:233-241)
-        from . import configdir as cfg
+    samples = _analyse_samples(args)
 
-        conf = args.configdir or cfg.default_config_dir()
-        tryptic = args.type in ("tryptic-sensitivity", "tryptic-precision")
-        version = cfg.discover_version(conf, tryptic=tryptic,
-                                       ninemer=not tryptic)
-        if version is None:
-            raise CliError("No data version found valid for all samples. "
-                           "Please run umgap-tpu setup.")
-        if taxons_path is None:
-            taxons_path = cfg.resolve(conf, version, "taxons.tsv")
-        if index_path is None:
-            index_path = cfg.resolve(
-                conf, version, "tryptic.npz" if tryptic else "ninemer.npz")
-    tax = _load_taxonomy(taxons_path)
-    table = _load_table(index_path)
-    paths = [args.first] + ([args.second] if args.second else [])
-    groups = list(read_groups_fastq(paths))
+    tax = None
+    tables: dict = {}
+
+    def load_world(tryptic: bool):
+        nonlocal tax
+        taxons_path, index_path = args.taxons, args.index
+        if taxons_path is None or index_path is None:
+            # data-version discovery (umgap-analyse.sh:233-241)
+            from . import configdir as cfg
+
+            conf = args.configdir or cfg.default_config_dir()
+            version = cfg.discover_version(conf, tryptic=tryptic,
+                                           ninemer=not tryptic)
+            if version is None:
+                raise CliError("No data version found valid for all "
+                               "samples. Please run umgap-tpu setup.")
+            if taxons_path is None:
+                taxons_path = cfg.resolve(conf, version, "taxons.tsv")
+            if index_path is None:
+                index_path = cfg.resolve(
+                    conf, version, "tryptic.npz" if tryptic else "ninemer.npz")
+        if tax is None:
+            tax = _load_taxonomy(taxons_path)
+        if tryptic not in tables:
+            tables[tryptic] = _load_table(index_path)
+        return tax, tables[tryptic]
+
     with device_trace(getattr(args, "trace_dir", None)):
-        if args.type in TRYPTIC_PRESETS:
-            results = analyse_tryptic_groups(
-                groups, tax, table, TRYPTIC_PRESETS[args.type],
-                batch_size=args.batch_size)
-        else:
-            results = analyse_stream(
-                groups, tax, table, args.type, ends=len(paths),
-                batch_size=args.batch_size, read_length=args.read_length)
-    writer = fasta.Writer(stdout, "\n", False)
-    for h, t in results:
-        writer.write_record(fasta.Record(h, [str(t)]))
+        for sample in samples:
+            preset = sample["type"]
+            tryptic = preset in TRYPTIC_PRESETS
+            stax, stable = load_world(tryptic)
+            if sample["second"]:
+                groups = list(read_groups_fastq(
+                    [sample["first"], sample["second"]]))
+                ends = 2
+            else:
+                groups = list(_read_groups_fasta(sample["first"]))
+                ends = 1
+            if tryptic:
+                results = analyse_tryptic_groups(
+                    groups, stax, stable, TRYPTIC_PRESETS[preset],
+                    batch_size=args.batch_size)
+            else:
+                results = analyse_stream(
+                    groups, stax, stable, preset, ends=ends,
+                    batch_size=args.batch_size,
+                    read_length=args.read_length)
+
+            out_path = sample["output"]
+            if out_path is None or out_path == "-":
+                writer = fasta.Writer(stdout, "\n", False)
+                for h, t in results:
+                    writer.write_record(fasta.Record(h, [str(t)]))
+            else:
+                if sample["compress"]:
+                    import gzip as gzipmod
+
+                    handle = gzipmod.open(out_path, "wt")
+                else:
+                    handle = open(out_path, "w")
+                with handle:
+                    writer = fasta.Writer(handle, "\n", False)
+                    for h, t in results:
+                        writer.write_record(fasta.Record(h, [str(t)]))
 
 
 def main(argv=None, stdin=None, stdout=None) -> int:
