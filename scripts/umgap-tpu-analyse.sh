@@ -5,74 +5,38 @@
 # (/root/reference/scripts/umgap-analyse.sh): where that script wires
 # 5-7 processes per sample with pipes, FIFOs, and a Unix-socket index
 # service, the TPU pipelines are fused device programs and the index
-# stays resident in HBM across samples, so this wrapper only handles
-# sample bookkeeping and gzip sniffing.
+# stays resident in HBM across samples. This wrapper delegates straight
+# to `umgap-tpu analyse`, which supports the same repeated
+# -1/-2/-t/-z/-o multi-sample groups, gzip sniffing, and config-dir
+# data-version discovery.
 set -e
 
 usage() {
-	cat <<EOF
-Usage: $0 [options] -1 <r1.fq[.gz]> [-2 <r2.fq[.gz]>] -o <output.fa> [more samples...]
+	cat <<USAGE
+Usage: $0 [options] -1 <r1[.fq|.fa][.gz]> [-2 <r2.fq[.gz]>] [-z] -o <out.fa> [more samples...]
 Options:
-  -c dir    config directory (default: \$XDG_CONFIG_HOME/umgap-tpu or ~/.config/umgap-tpu)
+  -c dir    config directory (default: XDG unipept discovery)
   -t type   max-sensitivity | high-sensitivity | high-precision (default)
             | max-precision | tryptic-sensitivity | tryptic-precision
-  -z        gzipped input
-EOF
+  -z        gzip-compress the next output file
+Repeat -1/-2/-t/-z/-o for multiple samples; loaded indexes are shared.
+USAGE
 	exit 1
 }
 
-configdir=""
-type="high-precision"
-samples=""
-
-getconfigdir() {
-	if [ -n "$configdir" ]; then echo "$configdir"
-	elif [ -n "$XDG_CONFIG_HOME" ]; then echo "$XDG_CONFIG_HOME/umgap-tpu"
-	else echo "$HOME/.config/umgap-tpu"
-	fi
-}
-
+args=""
+have_sample=""
 while getopts c:t:1:2:o:zh opt; do
 	case "$opt" in
-	c) configdir="$OPTARG" ;;
-	t) type="$OPTARG" ;;
-	1) one="$OPTARG" ;;
-	2) two="$OPTARG" ;;
-	o)
-		samples="$samples$type	$one	$two	$OPTARG
-"
-		two=""
-		;;
-	z) gzipped=true ;;
+	c) args="$args -c $OPTARG" ;;
+	t) args="$args -t $OPTARG" ;;
+	1) args="$args -1 $OPTARG" ;;
+	2) args="$args -2 $OPTARG" ;;
+	o) args="$args -o $OPTARG"; have_sample=yes ;;
+	z) args="$args -z" ;;
 	*) usage ;;
 	esac
 done
-[ -n "$samples" ] || usage
+[ -n "$have_sample" ] || usage
 
-cfg="$(getconfigdir)"
-taxons="$cfg/taxons.tsv"
-case "$type" in
-tryptic-*) index="$cfg/tryptic.index.npz" ;;
-*) index="$cfg/ninemer.index.npz" ;;
-esac
-[ -r "$taxons" ] || { echo "missing $taxons (run umgap-tpu-setup.sh)" >&2; exit 2; }
-[ -r "$index" ] || { echo "missing $index (run umgap-tpu-setup.sh)" >&2; exit 2; }
-
-tmp="$(mktemp -d)"
-trap 'rm -rf "$tmp"' EXIT INT TERM
-
-printf '%s' "$samples" | while IFS="	" read -r stype r1 r2 out; do
-	[ -n "$stype" ] || continue
-	in1="$r1"; in2="$r2"
-	if [ "$gzipped" = true ]; then
-		zcat "$r1" > "$tmp/r1.fq"; in1="$tmp/r1.fq"
-		if [ -n "$r2" ]; then zcat "$r2" > "$tmp/r2.fq"; in2="$tmp/r2.fq"; fi
-	fi
-	if [ -n "$in2" ]; then
-		python -m umgap_tpu analyse -t "$stype" -1 "$in1" -2 "$in2" \
-			--taxons "$taxons" --index "$index" > "$out"
-	else
-		python -m umgap_tpu analyse -t "$stype" -1 "$in1" \
-			--taxons "$taxons" --index "$index" > "$out"
-	fi
-done
+exec python -m umgap_tpu analyse $args

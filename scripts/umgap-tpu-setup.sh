@@ -1,51 +1,38 @@
 #!/bin/sh
-# Configure umgap_tpu: create the config directory and install the
-# taxonomy and index artifacts.
+# Configure umgap_tpu: create the config/data directories and install
+# the taxonomy and index artifacts (versioned, symlinked).
 #
-# Counterpart of the reference's umgap-setup.sh
-# (/root/reference/scripts/umgap-setup.sh), which downloads Unipept's
-# taxons.tsv and FST indices. Index artifacts here are packed .npz
-# tables; build them from Unipept TSV dumps with `umgap-tpu buildindex`
-# or the fast native path, or point this script at prebuilt files.
+# Thin wrapper over `umgap-tpu setup` (umgap_tpu/configdir.py), the
+# counterpart of the reference's umgap-setup.sh
+# (/root/reference/scripts/umgap-setup.sh). Without -T/-n/-p it
+# negotiates the latest version with the data server (needs network);
+# with local files it performs an offline install.
 set -e
 
 usage() {
-	cat <<EOF
-Usage: $0 [-c configdir] -T taxons.tsv [-n ninemer.index.npz] [-p tryptic.index.npz]
-  -T file   the Unipept taxonomy TSV (required)
-  -n file   a 9-mer index built with 'umgap-tpu buildindex' (optional)
-  -p file   a tryptic index (optional)
-  -c dir    config directory (default: \$XDG_CONFIG_HOME/umgap-tpu or ~/.config/umgap-tpu)
-EOF
+	cat <<USAGE
+Usage: $0 [-c configdir] [-d datadir] [-v version] [-y]
+          [-T taxons.tsv] [-n ninemer.npz] [-p tryptic.npz]
+  -T/-n/-p  local artifact files to install offline (needs -v)
+  -v ver    data version label (default: ask the data server)
+  -c/-d     config / data directories (default: XDG discovery)
+  -y        non-interactive; download everything missing
+USAGE
 	exit 1
 }
 
-configdir=""
-while getopts c:T:n:p:h opt; do
+args=""
+while getopts c:d:v:T:n:p:yh opt; do
 	case "$opt" in
-	c) configdir="$OPTARG" ;;
-	T) taxons="$OPTARG" ;;
-	n) ninemer="$OPTARG" ;;
-	p) tryptic="$OPTARG" ;;
+	c) args="$args -c $OPTARG" ;;
+	d) args="$args -d $OPTARG" ;;
+	v) args="$args -v $OPTARG" ;;
+	T) args="$args --taxons $OPTARG" ;;
+	n) args="$args --ninemer $OPTARG" ;;
+	p) args="$args --tryptic $OPTARG" ;;
+	y) args="$args -y" ;;
 	*) usage ;;
 	esac
 done
-[ -n "$taxons" ] || usage
 
-if [ -z "$configdir" ]; then
-	if [ -n "$XDG_CONFIG_HOME" ]; then configdir="$XDG_CONFIG_HOME/umgap-tpu"
-	else configdir="$HOME/.config/umgap-tpu"; fi
-fi
-mkdir -p "$configdir"
-
-install_file() { # src dst
-	[ -n "$1" ] || return 0
-	[ -r "$1" ] || { echo "cannot read $1" >&2; exit 2; }
-	ln -sf "$(realpath "$1")" "$configdir/$2"
-	echo "installed $configdir/$2"
-}
-
-install_file "$taxons" taxons.tsv
-install_file "$ninemer" ninemer.index.npz
-install_file "$tryptic" tryptic.index.npz
-echo "umgap_tpu configured in $configdir"
+exec python -m umgap_tpu setup $args
