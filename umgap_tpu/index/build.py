@@ -86,70 +86,28 @@ def join_kmers(
 
 
 def build_kmer_index_fast(tsv: bytes, tax: Taxonomy, k: int = kmers.DEFAULT_K,
-                          group_cap: int = 64, batch: int = 8192):
+                          group_cap: int = 64, use_native: bool = True):
     """Fast end-to-end 9-mer index build: native C++ k-mer splitting,
-    numpy sort (the reference shells out to GNU sort), and *batched
-    device aggregation* of the per-k-mer taxon groups with the
-    joinkmers semantics (valid-ancestor snap -> tree-hybrid f=0.95 ->
-    ranked snap; /root/reference/src/commands/joinkmers.rs:62-104).
-
-    Args:
-      tsv: raw (taxid TAB protein) TSV bytes.
-      group_cap: max distinct taxa considered per k-mer group (larger
-        groups are truncated to the first ``group_cap`` occurrences).
+    numpy sort (the reference shells out to GNU sort), and the at-scale
+    grouped joinkmers aggregation (valid-ancestor snap -> tree-hybrid
+    f=0.95 -> ranked snap, /root/reference/src/commands/joinkmers.rs:62-104)
+    via :func:`umgap_tpu.index.scale.join_kmers_sorted` — multithreaded
+    native C++ when available, vectorized numpy otherwise.
 
     Returns a built :class:`KmerTable`.
     """
-    import jax.numpy as jnp
-
-    from ..agg import device as devagg
     from ..io import native
+    from .scale import join_kmers_sorted
 
     packed, tids = native.split_kmers_tsv(tsv, k=k)
     if len(packed) == 0:
         return build_kmer_table(packed, np.zeros(0, np.int32), k=k)
     order = np.argsort(packed, kind="stable")
     packed = packed[order]
-    tids = tids[order]
-
-    # snap every taxid to its nearest valid ancestor; drop unknowns
-    validsnap = tax.snapping(ranked_only=False)
-    in_range = (tids >= 0) & (tids < tax.size)
-    snapped = np.where(in_range, validsnap[np.clip(tids, 0, tax.size - 1)], NONE)
-
-    # group boundaries over the sorted packed keys
-    newgrp = np.empty(len(packed), dtype=bool)
-    newgrp[0] = True
-    np.not_equal(packed[1:], packed[:-1], out=newgrp[1:])
-    gidx = np.cumsum(newgrp) - 1
-    n_groups = int(gidx[-1]) + 1
-    within = np.arange(len(packed)) - np.flatnonzero(newgrp)[gidx]
-    keep = (within < group_cap) & (snapped != NONE)
-
-    # pad groups into (n_groups, group_cap) for the device aggregator
-    mat = np.zeros((n_groups, group_cap), dtype=np.int32)
-    mat[gidx[keep], within[keep]] = snapped[keep]
-    keys = packed[newgrp]
-
-    dtax = devagg.DeviceTaxonomy.from_host(tax)
-    ranksnap = tax.snapping(ranked_only=True)
-    values = np.zeros(n_groups, dtype=np.int32)
-    ok = np.zeros(n_groups, dtype=bool)
-    w = np.ones((batch, group_cap), dtype=np.float32)
-    for start in range(0, n_groups, batch):
-        chunk = mat[start : start + batch]
-        n = len(chunk)
-        if n < batch:
-            chunk = np.pad(chunk, ((0, batch - n), (0, 0)))
-        utaxa, ucounts, uvalid = devagg.dedup_counts(
-            jnp.asarray(chunk), jnp.asarray(w), group_cap)
-        agg = devagg.aggregate_batch(
-            dtax, utaxa, ucounts, uvalid, "tree", "hybrid", JOINKMERS_FACTOR)
-        nonempty = np.asarray(uvalid.any(axis=-1))[:n]
-        a = np.asarray(agg)[:n]
-        values[start : start + n] = ranksnap[np.clip(a, 0, tax.size - 1)]
-        ok[start : start + n] = nonempty
-    return build_kmer_table(keys[ok], values[ok], k=k)
+    tids = tids[order].astype(np.int64)
+    keys, values = join_kmers_sorted(packed, tids, tax, group_cap=group_cap,
+                                     use_native=use_native)
+    return build_kmer_table(keys, values, k=k)
 
 
 def build_table(rows: Iterable[Tuple[str, int]], kind: str = "auto"):
