@@ -15,8 +15,23 @@
 // TPU-vs-baseline ratio conservative.
 //
 // Build: g++ -O3 -march=native -std=c++17 -pthread -o baseline_cpu baseline_cpu.cpp
-// Run:   ./baseline_cpu <.bench_data dir> [repeats]
+// Run:   ./baseline_cpu <.bench_data dir> [repeats] [hash|fst]
 // Output: one JSON line {"pairs_per_s": ..., "threads": ..., "checksum": ...}
+//
+// The optional third argument selects the lookup structure:
+//   hash (default) — the open-addressing upper bound described above.
+//   fst            — a faithful emulation of the structure the reference
+//                    actually uses (BurntSushi's fst::Map,
+//                    src/commands/prot2kmer2lca.rs:109-114): a minimized
+//                    acyclic byte automaton with outputs distributed
+//                    along edges (Daciuk/Mihov construction over sorted
+//                    keys, outputs pushed by the min-prefix rule exactly
+//                    as in the fst crate), looked up by walking 9 byte
+//                    transitions with a binary search per node. Per-key
+//                    work and memory-access pattern match the Rust
+//                    reference's `fst.get` (9 dependent node fetches);
+//                    this is the honest "Rust pipeline" denominator,
+//                    while `hash` remains the conservative upper bound.
 
 #include <algorithm>
 #include <atomic>
@@ -25,6 +40,7 @@
 #include <cstdio>
 #include <cstring>
 #include <string>
+#include <unordered_map>
 #include <thread>
 #include <vector>
 
@@ -85,6 +101,129 @@ struct Table {
       if (cur == ~0ull) return 0;
       pos = (pos + 1) & mask;
     }
+  }
+};
+
+// Minimal acyclic byte automaton with outputs — the fst::Map emulation.
+// Built from sorted fixed-length (9-byte) keys by the incremental
+// sorted-input algorithm: the path of the previous key is minimized
+// (hash-consed) up to the common prefix, and outputs are pushed along
+// the common prefix with the min-prefix rule, like the fst crate.
+struct Fst {
+  // Flattened registered states: per node a [first, first+n) slice of
+  // the edge arrays, transitions sorted by label for binary search.
+  std::vector<uint32_t> node_first;
+  std::vector<uint16_t> node_count;
+  std::vector<uint8_t> e_label;
+  std::vector<uint32_t> e_out;
+  std::vector<uint32_t> e_child;
+  uint32_t root = 0;
+
+  struct Edge {
+    uint8_t label;
+    uint32_t out;
+    uint32_t child;
+  };
+
+  uint32_t register_state(const std::vector<Edge>& edges,
+                          std::unordered_map<std::string, uint32_t>* reg) {
+    std::string key;
+    key.reserve(edges.size() * 9);
+    for (const auto& e : edges) {
+      key.push_back((char)e.label);
+      key.append(reinterpret_cast<const char*>(&e.out), 4);
+      key.append(reinterpret_cast<const char*>(&e.child), 4);
+    }
+    auto it = reg->find(key);
+    if (it != reg->end()) return it->second;
+    uint32_t id = (uint32_t)node_first.size();
+    node_first.push_back((uint32_t)e_label.size());
+    node_count.push_back((uint16_t)edges.size());
+    for (const auto& e : edges) {
+      e_label.push_back(e.label);
+      e_out.push_back(e.out);
+      e_child.push_back(e.child);
+    }
+    reg->emplace(std::move(key), id);
+    return id;
+  }
+
+  void build(const uint64_t* keys_in, const int32_t* vals_in, size_t n) {
+    std::vector<std::pair<uint64_t, int32_t>> kv(n);
+    for (size_t i = 0; i < n; i++) kv[i] = {keys_in[i], vals_in[i]};
+    std::sort(kv.begin(), kv.end());
+    std::unordered_map<std::string, uint32_t> reg;
+    reg.reserve(n * 2);
+    // the single final state (all keys are length 9; no final outputs)
+    uint32_t final_id = register_state({}, &reg);
+    std::vector<std::vector<Edge>> temp(kK);  // temp[d]: node at depth d
+    uint8_t prev[kK] = {0}, cur[kK];
+    bool have_prev = false;
+    for (size_t i = 0; i < n; i++) {
+      for (int d = 0; d < kK; d++)
+        cur[d] = (uint8_t)((kv[i].first >> (5 * (kK - 1 - d))) & 31);
+      int cp = 0;
+      if (have_prev)
+        while (cp < kK && cur[cp] == prev[cp]) cp++;
+      // freeze the previous key's suffix below the common prefix
+      for (int d = kK - 1; d >= cp; d--) {
+        uint32_t id = (d == kK - 1)
+                          ? final_id
+                          : register_state(temp[d + 1], &reg);
+        if (d + 1 < kK) temp[d + 1].clear();
+        if (d >= 0 && !temp[d].empty()) temp[d].back().child = id;
+      }
+      // push the new value along the common prefix (min-prefix rule)
+      uint32_t rem = (uint32_t)kv[i].second;
+      for (int d = 0; d < cp; d++) {
+        Edge& e = temp[d].back();
+        uint32_t c = std::min(e.out, rem);
+        uint32_t delta = e.out - c;
+        e.out = c;
+        rem -= c;
+        if (delta) {
+          for (Edge& ch : temp[d + 1]) ch.out += delta;
+        }
+      }
+      // append the new suffix
+      for (int d = cp; d < kK; d++)
+        temp[d].push_back({cur[d], d == cp ? rem : 0, 0});
+      memcpy(prev, cur, kK);
+      have_prev = true;
+    }
+    // freeze the last key's path
+    for (int d = kK - 1; d >= 0; d--) {
+      uint32_t id = (d == kK - 1) ? final_id : register_state(temp[d + 1], &reg);
+      if (d + 1 < kK) temp[d + 1].clear();
+      temp[d].back().child = id;
+    }
+    root = register_state(temp[0], &reg);
+    temp[0].clear();
+  }
+
+  inline int32_t get(uint64_t k) const {  // 0 = miss (-o semantics)
+    uint32_t id = root;
+    uint32_t out = 0;
+    for (int d = 0; d < kK; d++) {
+      uint8_t b = (uint8_t)((k >> (5 * (kK - 1 - d))) & 31);
+      uint32_t lo = node_first[id], hi = lo + node_count[id];
+      // binary search the sorted transition labels (fst-crate style)
+      while (lo < hi) {
+        uint32_t mid = (lo + hi) / 2;
+        if (e_label[mid] < b)
+          lo = mid + 1;
+        else
+          hi = mid;
+      }
+      if (lo >= node_first[id] + node_count[id] || e_label[lo] != b) return 0;
+      out += e_out[lo];
+      id = e_child[lo];
+    }
+    return (int32_t)out;
+  }
+
+  size_t bytes() const {
+    return node_first.size() * 6 + e_label.size() * 9;
   }
 };
 
@@ -181,7 +320,9 @@ int32_t tree_mix(const std::vector<std::pair<int32_t, float>>& counts,
   return x;
 }
 
-uint64_t process_range(const Workload& w, size_t lo, size_t hi) {
+template <typename Lookup>
+uint64_t process_range(const Workload& w, const Lookup& lut, size_t lo,
+                       size_t hi) {
   uint64_t checksum = 0;
   std::vector<int32_t> taxons, kept;
   std::vector<uint8_t> rc(kReadLen), aa(kReadLen / 3 + 1);
@@ -208,7 +349,7 @@ uint64_t process_range(const Workload& w, size_t lo, size_t hi) {
           const uint64_t mask45 = (1ull << 45) - 1;
           for (int i = kK - 1; i < naa; i++) {
             packed = ((packed << 5) | aa[i]) & mask45;
-            taxons.push_back(w.table.get(packed));
+            taxons.push_back(lut.get(packed));
           }
         }
         taxons.push_back(0);  // sentinel (seedextend.rs:99)
@@ -241,6 +382,7 @@ uint64_t process_range(const Workload& w, size_t lo, size_t hi) {
 int main(int argc, char** argv) {
   std::string dir = argc > 1 ? argv[1] : ".bench_data";
   int repeats = argc > 2 ? atoi(argv[2]) : 3;
+  std::string mode = argc > 3 ? argv[3] : "hash";
 
   Workload w;
   w.reads = read_file(dir + "/reads.bin");
@@ -248,8 +390,17 @@ int main(int argc, char** argv) {
   auto kb = read_file(dir + "/index_keys.bin");
   auto vb = read_file(dir + "/index_vals.bin");
   size_t nk = kb.size() / 8;
-  w.table.build(reinterpret_cast<const uint64_t*>(kb.data()),
-                reinterpret_cast<const int32_t*>(vb.data()), nk);
+  Fst fst;
+  if (mode == "fst") {
+    fst.build(reinterpret_cast<const uint64_t*>(kb.data()),
+              reinterpret_cast<const int32_t*>(vb.data()), nk);
+    fprintf(stderr, "fst: %zu nodes, %zu edges, %.1f MB\n",
+            fst.node_first.size(), fst.e_label.size(),
+            fst.bytes() / 1048576.0);
+  } else {
+    w.table.build(reinterpret_cast<const uint64_t*>(kb.data()),
+                  reinterpret_cast<const int32_t*>(vb.data()), nk);
+  }
   auto pb = read_file(dir + "/parent.bin");
   auto sb = read_file(dir + "/snap.bin");
   auto db = read_file(dir + "/depth.bin");
@@ -273,7 +424,10 @@ int main(int argc, char** argv) {
     size_t chunk = (w.n_pairs + nthreads - 1) / nthreads;
     for (unsigned t = 0; t < nthreads; t++) {
       size_t lo = t * chunk, hi = std::min(w.n_pairs, lo + chunk);
-      threads.emplace_back([&, t, lo, hi] { sums[t] = process_range(w, lo, hi); });
+      threads.emplace_back([&, t, lo, hi] {
+        sums[t] = (mode == "fst") ? process_range(w, fst, lo, hi)
+                                  : process_range(w, w.table, lo, hi);
+      });
     }
     for (auto& th : threads) th.join();
     auto t1 = std::chrono::steady_clock::now();
@@ -283,7 +437,8 @@ int main(int argc, char** argv) {
     if (r > 0) best = std::max(best, w.n_pairs / secs);
   }
   printf("{\"pairs_per_s\": %.1f, \"threads\": %u, \"n_pairs\": %zu, "
-         "\"checksum\": %llu}\n",
-         best, nthreads, w.n_pairs, (unsigned long long)checksum);
+         "\"mode\": \"%s\", \"checksum\": %llu}\n",
+         best, nthreads, w.n_pairs, mode.c_str(),
+         (unsigned long long)checksum);
   return 0;
 }

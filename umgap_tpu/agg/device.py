@@ -76,28 +76,36 @@ class DeviceTaxonomy:
 # Per-read hit-list preparation
 # ---------------------------------------------------------------------- #
 
-def dedup_counts(taxa: jax.Array, weights: jax.Array, k_max: int):
+def dedup_counts(taxa: jax.Array, weights: jax.Array, k_max: int,
+                 return_nuniq: bool = False):
     """Per-row frequency table (reference agg::count + the tid != 0 drop
     of taxa2agg, src/commands/taxa2agg.rs:169).
 
     Args:
       taxa: (B, N) int32; entries <= 0 are dropped.
       weights: (B, N) float32 per-hit weights.
-      k_max: output width (unique taxa beyond this are dropped; callers
-        should size it to the pipeline's worst case).
+      k_max: output width. Callers that pick ``k_max`` below the worst
+        case should request ``return_nuniq`` and reroute overflowing
+        rows through a wider program (see pipeline.runner's fallback) —
+        truncation keeps the ``k_max`` smallest ids.
+      return_nuniq: also return the per-row count of distinct taxa
+        (pre-truncation), for overflow detection.
 
     Returns:
       utaxa: (B, k_max) int32 unique taxa (I32_MAX padding),
       ucounts: (B, k_max) float32 summed weights,
-      uvalid: (B, k_max) bool.
+      uvalid: (B, k_max) bool,
+      [nuniq: (B,) int32 when ``return_nuniq``].
     """
     B, N = taxa.shape
     t = jnp.where(taxa > 0, taxa, I32_MAX)
     w = jnp.where(taxa > 0, weights, 0.0)
-    # Sort each row by taxon id, then run-length count with neighbor
-    # compares and a cumsum-difference — O(N log^2 N) sort-network
-    # passes instead of the previous (B, N, N) equality matrix, which
-    # dominated aggregation time at production batch sizes. Output is in
+    # Sort each row by taxon id, run-length count with neighbor compares
+    # + a segmented first-value broadcast, then compact the run heads
+    # left with a second (small) key-value sort. Everything is sort
+    # passes and elementwise scans over (B, N) — no (B, N, K) one-hot
+    # materializations (the previous einsum formulation dominated
+    # aggregation time at production batch sizes). Output is in
     # ascending-id order (order-independent downstream; the rmq-lca
     # walk's documented pin is ascending ids anyway). When unique > k_max
     # the k_max SMALLEST ids are kept.
@@ -111,29 +119,37 @@ def dedup_counts(taxa: jax.Array, weights: jax.Array, k_max: int):
     last = (ts != nxt) & valid
     cw = jnp.cumsum(ws, axis=-1)        # inclusive prefix of weights
     ecw = cw - ws                       # exclusive
+    # base[n] = ecw at the first position of n's run (segmented copy
+    # scan; no monotonicity assumption on the weights).
+    def seg_combine(a, b):
+        av, af = a
+        bv, bf = b
+        return jnp.where(bf, bv, av), af | bf
+
+    base, _ = jax.lax.associative_scan(seg_combine, (ecw, first), axis=-1)
+    run_total = cw - base               # meaningful at `last` positions
     K = min(k_max, N)
     runidx = jnp.cumsum(first.astype(jnp.int32), axis=-1) - 1  # (B, N)
-    slots = jnp.arange(K, dtype=jnp.int32)
-    sel_first = ((runidx[:, :, None] == slots) & first[:, :, None]
-                 ).astype(jnp.float32)  # (B, N, K)
-    sel_last = ((runidx[:, :, None] == slots) & last[:, :, None]
-                ).astype(jnp.float32)
-    # Taxon ids are < 2^24, exact in f32 on the MXU.
-    key = jnp.einsum("bnk,bn->bk", sel_first, ts.astype(jnp.float32),
-                     preferred_element_type=jnp.float32)
-    cntk = (jnp.einsum("bnk,bn->bk", sel_last, cw,
-                       preferred_element_type=jnp.float32)
-            - jnp.einsum("bnk,bn->bk", sel_first, ecw,
-                         preferred_element_type=jnp.float32))
-    filled = slots[None, :] < jnp.sum(first, axis=-1,
-                                      dtype=jnp.int32)[:, None]
-    key = jnp.where(filled, key.astype(jnp.int32), I32_MAX)
+    # Compact run tails to the first K slots: runidx is unique among
+    # `last` positions and ascends with ts, so a stable sort on it packs
+    # (taxon, total) pairs left in ascending-id order.
+    slotkey = jnp.where(last, runidx, I32_MAX)
+    sk, key, cntk = jax.lax.sort((slotkey, ts, run_total), dimension=-1,
+                                 num_keys=1)
+    sk = jax.lax.slice_in_dim(sk, 0, K, axis=-1)
+    key = jax.lax.slice_in_dim(key, 0, K, axis=-1)
+    cntk = jax.lax.slice_in_dim(cntk, 0, K, axis=-1)
+    filled = sk != I32_MAX
+    key = jnp.where(filled, key, I32_MAX)
     if k_max > N:
         pad = ((0, 0), (0, k_max - N))
         key = jnp.pad(key, pad, constant_values=I32_MAX)
         cntk = jnp.pad(cntk, pad)
         filled = jnp.pad(filled, pad)
-    return key, jnp.where(filled, cntk, 0.0), filled
+    out = (key, jnp.where(filled, cntk, 0.0), filled)
+    if return_nuniq:
+        return out + (jnp.sum(first, axis=-1, dtype=jnp.int32),)
+    return out
 
 
 def filter_lower_bound(ucounts, uvalid, lower_bound: float):

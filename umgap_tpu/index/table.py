@@ -599,16 +599,35 @@ class CuckooKmerTable:
 
 
 def build_kmer_table(packed: np.ndarray, values: np.ndarray, k: int,
-                     layout: str = "bucket16", **kw):
+                     layout: str = "bucket8s", **kw):
     """Build a k-mer table in the requested layout.
 
-    TPU gathers cost ~5-8 ns per *row* regardless of row width (up to
-    ~64 bytes), so lookup throughput is set by gather *ops* per query,
-    not elements. ``bucket16`` (default) needs exactly ONE row gather
-    per query: 16-slot buckets probed in a single round, with overflow
-    keys in a broadcast-compared stash. ``cuckoo`` reads the fewest
-    elements (2 gathers of 2 int32) — use it when HBM is the binding
-    constraint. ``bucket8``/``bucket4`` are narrower-row variants."""
+    Single-gather layouts resolve every query with exactly ONE row
+    gather (one probe round + a broadcast-compared overflow stash), and
+    the v5e gather rate RISES as rows narrow (measured ~68 M rows/s at
+    128 B rows, ~90 M at 64 B, ~103 M at 32 B — scripts/exp_probe2.py),
+    so the narrowest single-gather layout that keeps the stash small
+    wins:
+
+    - ``bucket8s`` (default): 8-slot buckets, 64 B rows. At the default
+      0.45 load factor a bucket holds ~1.9 keys on average, leaving
+      ~1e-4 of keys in the stash (~200 per 2M) — same memory as
+      ``bucket16``, ~25% faster probes.
+    - ``bucket16``: 16-slot buckets, 128 B rows, near-empty stash at
+      denser loads — the memory-lean choice for at-scale indexes.
+    - ``bucket4s``: 4-slot, 32 B rows, fastest probe but needs ~4x the
+      memory to keep the stash small (pass a lower ``load_factor``).
+    - ``cuckoo``: two gathers of 8 B — fewest bytes, but two row
+      gathers lose to one on a gather-rate-bound probe.
+    - ``bucket8``/``bucket4``: linear-probing variants (up to 2 rounds,
+      2 full gathers); superseded by the ``*s`` single-gather layouts.
+    """
+    if layout == "bucket8s":
+        return KmerTable.build(packed, values, k, bucket=8,
+                               max_probe_limit=0, stash_cap=256, **kw)
+    if layout == "bucket4s":
+        return KmerTable.build(packed, values, k, bucket=4,
+                               max_probe_limit=0, stash_cap=256, **kw)
     if layout == "bucket16":
         return KmerTable.build(packed, values, k, bucket=16,
                                max_probe_limit=0, **kw)

@@ -37,7 +37,12 @@ class PipelineConfig(NamedTuple):
     strategy: str = "mrtl"
     factor: float = 0.25
     table_number: int = 1
-    k_max: int = 128  # per-read unique-taxa capacity for aggregation
+    # Per-read unique-taxa capacity for aggregation. Aggregation cost
+    # scales O(k_max^2) (ancestor-incidence / branch-sum tensors), so
+    # this is deliberately sized for the common case; reads with more
+    # distinct hit taxa are detected (``with_overflow``) and re-routed
+    # through a wide program by the runner — never silently truncated.
+    k_max: int = 64
     # scored seedextend (`-r`, src/commands/seedextend.rs:151-164): keep
     # only the best-scoring extended seed per frame. No preset uses it;
     # available for custom pipelines.
@@ -63,12 +68,16 @@ PRESETS = {
 
 def pipeline_step(dna, lengths, dtax: devagg.DeviceTaxonomy,
                   dtable: lookup.DeviceTable, config: PipelineConfig,
-                  euler=None):
+                  euler=None, with_overflow: bool = False):
     """One fused batch step.
 
     Args:
       dna: (B, E, L) uint8 DNA codes (E = reads per group, e.g. 2 ends).
       lengths: (B, E) int32.
+      with_overflow: also return a (B,) bool marking reads whose
+        distinct surviving taxa exceed ``config.k_max`` (whose result
+        may therefore be truncated; the runner re-routes these through
+        a wide program).
 
     Returns:
       taxon: (B,) int32 consensus taxon per read group (1 when no hits
@@ -103,19 +112,24 @@ def pipeline_step(dna, lengths, dtax: devagg.DeviceTaxonomy,
     hits = hits.reshape(B, E * 6 * W)
 
     # taxa2agg: count, filter, aggregate, snap
-    utaxa, ucounts, uvalid = devagg.dedup_counts(
-        hits, jnp.ones_like(hits, jnp.float32), config.k_max)
+    utaxa, ucounts, uvalid, nuniq = devagg.dedup_counts(
+        hits, jnp.ones_like(hits, jnp.float32), config.k_max,
+        return_nuniq=True)
     uvalid = devagg.filter_lower_bound(ucounts, uvalid, config.lower_bound)
     agg = devagg.aggregate_batch(
         dtax, utaxa, ucounts, uvalid, config.method, config.strategy,
         config.factor, euler=euler)
     snapped = devagg.snap_batch(dtax.snap_valid, agg, default=0)
     nonempty = uvalid.any(axis=-1)
-    return jnp.where(nonempty, snapped, 1).astype(jnp.int32)
+    taxon = jnp.where(nonempty, snapped, 1).astype(jnp.int32)
+    if with_overflow:
+        return taxon, nuniq > config.k_max
+    return taxon
 
 
 def make_pipeline(dtax: devagg.DeviceTaxonomy, dtable: lookup.DeviceTable,
-                  config: PipelineConfig, euler=None, wire: str = "codes"):
+                  config: PipelineConfig, euler=None, wire: str = "codes",
+                  with_overflow: bool = False):
     """Jitted (dna, lengths) -> per-read taxon function.
 
     The table/taxonomy pytrees are jit *arguments* (device-resident),
@@ -125,20 +139,25 @@ def make_pipeline(dtax: devagg.DeviceTaxonomy, dtable: lookup.DeviceTable,
     ``wire='packed4'`` accepts 4-bit packed DNA (two bases per byte,
     :func:`umgap_tpu.ops.encoding.pack_dna4`) plus the unpacked length —
     halving the host->device transfer, which bounds end-to-end
-    throughput on tunneled devices."""
+    throughput on tunneled devices.
+
+    With ``with_overflow`` the returned function yields
+    ``(taxon, overflow)`` (see :func:`pipeline_step`)."""
 
     if wire == "packed4":
 
         @functools.partial(jax.jit, static_argnames=("length",))
         def step_p(dna4, lengths, dtable, dtax, euler, length):
             dna = encoding.unpack_dna4_device(dna4, length)
-            return pipeline_step(dna, lengths, dtax, dtable, config, euler)
+            return pipeline_step(dna, lengths, dtax, dtable, config, euler,
+                                 with_overflow=with_overflow)
 
         return lambda dna4, lengths, length: step_p(
             dna4, lengths, dtable, dtax, euler, length)
 
     @jax.jit
     def step(dna, lengths, dtable, dtax, euler):
-        return pipeline_step(dna, lengths, dtax, dtable, config, euler)
+        return pipeline_step(dna, lengths, dtax, dtable, config, euler,
+                             with_overflow=with_overflow)
 
     return lambda dna, lengths: step(dna, lengths, dtable, dtax, euler)

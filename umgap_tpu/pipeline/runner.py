@@ -68,15 +68,58 @@ class Analyser:
         with self.timer.stage("device_state_load"):
             self.dtax = devagg.DeviceTaxonomy.from_host(tax)
             self.dtable = lookup.DeviceTable.from_host(table)
-            euler = None
+            self._euler = None
             if (config.method, config.strategy) == ("rmq", "lca*"):
                 from ..agg.device_rmq import DeviceEuler
 
-                euler = DeviceEuler.from_host(tax)
-        self.step = make_pipeline(self.dtax, self.dtable, config, euler,
-                                  wire="packed4")
+                self._euler = DeviceEuler.from_host(tax)
+        self.step = make_pipeline(self.dtax, self.dtable, config, self._euler,
+                                  wire="packed4", with_overflow=True)
+        self._wide_step = None  # built lazily on first k_max overflow
+        self.overflow_reads = 0
         verbose(f"Analyser ready: preset={config.name} "
                 f"batch={batch_size} ends={ends}")
+
+    # -- k_max overflow fallback ---------------------------------------- #
+    # config.k_max bounds the per-read distinct-taxa capacity of the fast
+    # program (aggregation scales O(k_max^2)). Reads that exceed it are
+    # rare; they are re-run through a program wide enough to be exact
+    # (every window slot its own taxon), in small fixed batches.
+    WIDE_BATCH = 64
+
+    def _wide(self):
+        if self._wide_step is None:
+            frames = 6
+            # >= windows per frame for any padded protein length
+            w = max((self.read_length + 2) // 3, 1)
+            exact = self.ends * frames * w
+            cfg = self.config._replace(k_max=exact)
+            self._wide_step = make_pipeline(
+                self.dtax, self.dtable, cfg, self._euler, wire="packed4")
+        return self._wide_step
+
+    def _resolve_overflow(self, dna: np.ndarray, lens: np.ndarray,
+                          taxa: np.ndarray, overflow: np.ndarray):
+        """Re-run overflowed rows of one batch through the wide program
+        and patch their results in place. dna: (B, E, L) uint8 codes."""
+        idx = np.nonzero(overflow)[0]
+        if not len(idx):
+            return taxa
+        self.overflow_reads += len(idx)
+        wide = self._wide()
+        W = self.WIDE_BATCH
+        for s in range(0, len(idx), W):
+            sel = idx[s : s + W]
+            nd = dna[sel]
+            nl = lens[sel]
+            if len(sel) < W:
+                nd = np.pad(nd, ((0, W - len(sel)), (0, 0), (0, 0)),
+                            constant_values=encoding.DNA_N)
+                nl = np.pad(nl, ((0, W - len(sel)), (0, 0)))
+            out = np.asarray(wide(encoding.pack_dna4(nd), nl,
+                                  self.read_length))
+            taxa[sel] = out[: len(sel)]
+        return taxa
 
     def analyse_groups(self, groups):
         """groups: iterable of (header, [seq…]). Yields (header, taxon)."""
@@ -97,8 +140,10 @@ class Analyser:
         while len(seqs) < self.batch_size:
             seqs.append([""] * self.ends)
         dna, lens = encode_batch(seqs, self.ends, self.read_length)
-        taxa = np.asarray(self.step(encoding.pack_dna4(dna), lens,
-                                    self.read_length))
+        out, overflow = self.step(encoding.pack_dna4(dna), lens,
+                                  self.read_length)
+        taxa = self._resolve_overflow(dna, lens, np.array(out),
+                                      np.asarray(overflow))
         for h, t in zip(headers, taxa[:n]):
             yield h, int(t)
 
@@ -116,7 +161,18 @@ class Analyser:
         def emit(item):
             start, n, out = item
             with self.timer.stage("materialize"):
-                taxa = np.asarray(out)
+                taxa = np.array(out[0])
+                overflow = np.asarray(out[1])
+            if overflow.any():
+                with self.timer.stage("overflow_fallback"):
+                    nd = dna[start : start + B]
+                    nl = lens[start : start + B]
+                    pad = len(taxa) - len(nd)
+                    if pad:
+                        overflow = overflow[: len(nd)]
+                    taxa = self._resolve_overflow(
+                        np.ascontiguousarray(nd), np.ascontiguousarray(nl),
+                        taxa[: len(nd)], overflow)
             for h, t in zip(headers[start : start + n], taxa[:n]):
                 yield h, int(t)
 
