@@ -287,3 +287,44 @@ def test_translate6_batch_long_reads():
         for f in range(6):
             got = encoding.decode_aa(aa[i, f, : plens[i, f]])
             assert got == host[f], (i, translate.FRAME_NAMES[f])
+
+
+def test_bucket8s_stash_probe_device_and_host():
+    """Single-gather bucket-8 layout with a non-empty overflow stash:
+    every key (in-bucket and stashed) must resolve on host and device,
+    and printindex reconstruction must cover the stash too."""
+    import jax.numpy as jnp
+
+    from umgap_tpu.index.table import KmerTable
+
+    rng = np.random.default_rng(5)
+    n = 100_000
+    packed = np.unique(
+        rng.integers(0, 2 ** 45, size=2 * n).astype(np.uint64))[:n]
+    values = rng.integers(1, 2 ** 24, size=n).astype(np.int32)
+    # fixed tight-ish capacity -> a handful of bucket overflows -> stash
+    t = KmerTable.build(packed, values, k=9, bucket=8, max_probe_limit=0,
+                        capacity=1 << 18, stash_cap=256)
+    assert t.max_probes == 0
+    assert len(t.stash_hi) > 0, "capacity chosen to force a stash"
+    dt = lookup.DeviceTable.from_host(t)
+    hi, lo = kmers.split_packed(packed)
+    hv, hf = t.probe_host(hi, lo)
+    assert hf.all()
+    assert (hv == values).all()
+    dv, df = lookup.probe(dt, jnp.asarray(hi), jnp.asarray(lo))
+    assert np.asarray(df).all()
+    assert (np.asarray(dv) == values).all()
+    # misses (keys guaranteed absent) return default and found=False
+    absent = packed[:500] ^ np.uint64(1 << 44)
+    absent = absent[~np.isin(absent, packed)]
+    ahi, alo = kmers.split_packed(absent)
+    av, af = lookup.probe(dt, jnp.asarray(ahi), jnp.asarray(alo), default=0)
+    assert not np.asarray(af).any()
+    assert (np.asarray(av) == 0).all()
+    # items() reconstruction includes stash entries
+    got_keys, got_vals = t.items()
+    order = np.argsort(got_keys)
+    assert (got_keys[order] == np.sort(packed)).all()
+    m = {int(k): int(v) for k, v in zip(packed, values)}
+    assert all(m[int(k)] == int(v) for k, v in zip(got_keys, got_vals))

@@ -45,19 +45,20 @@ def test_sharded_probe_matches_single(monkeypatch):
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
-    def local(hi, lo, rows):
+    def local(hi, lo, rows, stash):
         return sharded_probe_local(
             hi, lo, jnp.ones_like(hi, bool), rows[0],
             stable.max_probes, "x", kind=stable.kind, nb_bits=stable.nb_bits,
-            bucket=stable.bucket)
+            bucket=stable.bucket, shard_stash=stash[0])
 
     fn = shard_map(
         local, mesh=mesh,
-        in_specs=(P("x"), P("x"), P("x", None, None)),
+        in_specs=(P("x"), P("x"), P("x", None, None), P("x", None, None)),
         out_specs=(P("x"), P("x")),
         check_vma=False,
     )
-    got_v, got_f = fn(jnp.asarray(hi), jnp.asarray(lo), stable.rows)
+    got_v, got_f = fn(jnp.asarray(hi), jnp.asarray(lo), stable.rows,
+                      stable.stash)
     assert np.asarray(got_v).tolist() == expect_v.tolist()
     assert np.asarray(got_f).tolist() == expect_f.tolist()
 

@@ -112,33 +112,32 @@ def dedup_counts(taxa: jax.Array, weights: jax.Array, k_max: int,
     ts, ws = jax.lax.sort((t, w), dimension=-1, num_keys=1)
     prev = jnp.concatenate([jnp.full((B, 1), -1, ts.dtype), ts[:, :-1]],
                            axis=-1)
-    nxt = jnp.concatenate([ts[:, 1:], jnp.full((B, 1), -1, ts.dtype)],
-                          axis=-1)
     valid = ts != I32_MAX
     first = (ts != prev) & valid
-    last = (ts != nxt) & valid
     cw = jnp.cumsum(ws, axis=-1)        # inclusive prefix of weights
     ecw = cw - ws                       # exclusive
-    # base[n] = ecw at the first position of n's run (segmented copy
-    # scan; no monotonicity assumption on the weights).
-    def seg_combine(a, b):
-        av, af = a
-        bv, bf = b
-        return jnp.where(bf, bv, av), af | bf
-
-    base, _ = jax.lax.associative_scan(seg_combine, (ecw, first), axis=-1)
-    run_total = cw - base               # meaningful at `last` positions
+    wtot = cw[:, -1:]                   # invalid entries carry weight 0
     K = min(k_max, N)
     runidx = jnp.cumsum(first.astype(jnp.int32), axis=-1) - 1  # (B, N)
-    # Compact run tails to the first K slots: runidx is unique among
-    # `last` positions and ascends with ts, so a stable sort on it packs
-    # (taxon, total) pairs left in ascending-id order.
-    slotkey = jnp.where(last, runidx, I32_MAX)
-    sk, key, cntk = jax.lax.sort((slotkey, ts, run_total), dimension=-1,
-                                 num_keys=1)
+    # Compact run heads to the left: runidx is unique among `first`
+    # positions and ascends with ts, so sorting on it packs
+    # (taxon, exclusive-prefix-at-run-start) pairs in ascending-id
+    # order. Run r's total is then the DIFFERENCE of consecutive
+    # compacted prefixes (next run's start prefix, or the row total for
+    # the last run) — no segmented scan needed.
+    slotkey = jnp.where(first, runidx, I32_MAX)
+    sk, key, basec = jax.lax.sort((slotkey, ts, ecw), dimension=-1,
+                                  num_keys=1)
+    if N < K + 1:  # room for the one-past-the-end neighbor column
+        sk = jnp.pad(sk, ((0, 0), (0, K + 1 - N)), constant_values=I32_MAX)
+        key = jnp.pad(key, ((0, 0), (0, K + 1 - N)))
+        basec = jnp.pad(basec, ((0, 0), (0, K + 1 - N)))
+    nxt_filled = jax.lax.slice_in_dim(sk, 1, K + 1, axis=-1) != I32_MAX
+    nxt_base = jax.lax.slice_in_dim(basec, 1, K + 1, axis=-1)
     sk = jax.lax.slice_in_dim(sk, 0, K, axis=-1)
     key = jax.lax.slice_in_dim(key, 0, K, axis=-1)
-    cntk = jax.lax.slice_in_dim(cntk, 0, K, axis=-1)
+    base = jax.lax.slice_in_dim(basec, 0, K, axis=-1)
+    cntk = jnp.where(nxt_filled, nxt_base, wtot) - base
     filled = sk != I32_MAX
     key = jnp.where(filled, key, I32_MAX)
     if k_max > N:

@@ -623,8 +623,18 @@ def build_kmer_table(packed: np.ndarray, values: np.ndarray, k: int,
       2 full gathers); superseded by the ``*s`` single-gather layouts.
     """
     if layout == "bucket8s":
-        return KmerTable.build(packed, values, k, bucket=8,
-                               max_probe_limit=0, stash_cap=256, **kw)
+        try:
+            if len(values) > 90_000_000:
+                raise ValueError("key count beyond bucket-8 geometry")
+            return KmerTable.build(packed, values, k, bucket=8,
+                                   max_probe_limit=0, stash_cap=256, **kw)
+        except ValueError:
+            # the 25-bit bucket-index cap limits bucket-8 tables to
+            # 2^25 buckets (~120M keys at the default load); very large
+            # single tables degrade to the denser 16-slot geometry
+            # (indexes beyond ~350M keys must be sharded — index/scale.py)
+            return KmerTable.build(packed, values, k, bucket=16,
+                                   max_probe_limit=0, **kw)
     if layout == "bucket4s":
         return KmerTable.build(packed, values, k, bucket=4,
                                max_probe_limit=0, stash_cap=256, **kw)

@@ -34,7 +34,7 @@ def owner_of(hi, lo, n_shards: int):
 
 def build_sharded_tables(packed: np.ndarray, values: np.ndarray, k: int,
                          n_shards: int, load_factor: float = 0.4,
-                         layout: str = "cuckoo"):
+                         layout: str = "bucket8s"):
     """Split keys by owner and build per-shard tables with one common
     capacity (so the stacked arrays are rectangular). Grows the common
     capacity until every shard builds within its probe limits."""
@@ -78,21 +78,25 @@ class ShardedTable:
     (registered pytree; pass as a jit argument)."""
 
     def __init__(self, rows, max_probes: int, n_shards: int, kind: str,
-                 nb_bits: int, bucket: int):
+                 nb_bits: int, bucket: int, stash=None):
         self.rows = rows  # (n_shards, n_buckets, row_width) int32
         self.max_probes = max_probes
         self.n_shards = n_shards
         self.kind = kind
         self.nb_bits = nb_bits
         self.bucket = bucket
+        # (n_shards, S, 3) int32 [key_hi, key_lo, value]; rows padded
+        # with key_hi = -1 (impossible: packed hi has <= 20 bits)
+        self.stash = (jnp.zeros((n_shards, 0, 3), jnp.int32)
+                      if stash is None else stash)
 
     def tree_flatten(self):
-        return (self.rows,), (self.max_probes, self.n_shards, self.kind,
-                              self.nb_bits, self.bucket)
+        return (self.rows, self.stash), (self.max_probes, self.n_shards,
+                                         self.kind, self.nb_bits, self.bucket)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], *aux)
+        return cls(children[0], *aux, stash=children[1])
 
     @classmethod
     def from_shards(cls, shards, mesh: Mesh, axis: str = "x") -> "ShardedTable":
@@ -106,6 +110,16 @@ class ShardedTable:
             nb_bits = t0.s_bits
         else:
             nb_bits = 0
+        smax = max((len(getattr(t, "stash_hi", [])) for t in shards),
+                   default=0)
+        stash = np.full((n, smax, 3), -1, np.int32)
+        stash[:, :, 2] = 0
+        for i, t in enumerate(shards):
+            sh = getattr(t, "stash_hi", None)
+            if sh is not None and len(sh):
+                stash[i, : len(sh), 0] = sh
+                stash[i, : len(sh), 1] = t.stash_lo
+                stash[i, : len(sh), 2] = t.stash_val
         return cls(
             rows=jax.device_put(stacked, sharding),
             max_probes=max(t.max_probes for t in shards),
@@ -113,6 +127,7 @@ class ShardedTable:
             kind=t0.kind,
             nb_bits=nb_bits,
             bucket=getattr(t0, "bucket", 8),
+            stash=jax.device_put(stash, sharding),
         )
 
 
@@ -120,7 +135,7 @@ def sharded_probe_local(local_hi, local_lo, local_valid,
                         shard_rows, max_probes: int,
                         axis, default: int = 0,
                         kind: str = "kmer", nb_bits: int = 0,
-                        bucket: int = 8):
+                        bucket: int = 8, shard_stash=None):
     """Probe inside shard_map: local queries of any shape; the local
     table shard's packed rows. Routes via all_to_all both ways.
     ``axis`` may be one mesh axis name or a tuple of names (host, chip)
@@ -158,7 +173,7 @@ def sharded_probe_local(local_hi, local_lo, local_valid,
     r_valid = jax.lax.all_to_all(b_valid, axis, 0, 0, tiled=False)
 
     local_table = lookup.DeviceTable(shard_rows, max_probes, kind, nb_bits,
-                                     bucket)
+                                     bucket, stash=shard_stash)
     vals, found = lookup.probe(local_table, r_hi, r_lo, valid=r_valid,
                                default=default)
 
@@ -191,9 +206,10 @@ def make_sharded_pipeline(dtax, stable: ShardedTable, config, mesh: Mesh,
 
     table = encoding.get_table(config.table_number)
 
-    def local_step(dna, lengths, shard_rows):
+    def local_step(dna, lengths, shard_rows, shard_stash):
         # shard axis arrives with a leading length-1 mesh dim
         shard_rows = shard_rows[0]
+        shard_stash = shard_stash[0]
         B, E, L = dna.shape
         aa, plens = translate.translate6_batch(
             dna.reshape(B * E, L), lengths.reshape(B * E), table)
@@ -201,7 +217,8 @@ def make_sharded_pipeline(dtax, stable: ShardedTable, config, mesh: Mesh,
         taxa, _found = sharded_probe_local(
             hi, lo, wvalid, shard_rows,
             stable.max_probes, axis, default=0,
-            kind=stable.kind, nb_bits=stable.nb_bits, bucket=stable.bucket)
+            kind=stable.kind, nb_bits=stable.nb_bits, bucket=stable.bucket,
+            shard_stash=shard_stash)
         taxa = jnp.where(wvalid, taxa, 0)
         W = taxa.shape[-1]
         nk = jnp.maximum(plens - (config.k - 1), 0)
@@ -230,14 +247,15 @@ def make_sharded_pipeline(dtax, stable: ShardedTable, config, mesh: Mesh,
     fn = shard_map(
         local_step,
         mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis, None, None)),
+        in_specs=(P(axis), P(axis), P(axis, None, None),
+                  P(axis, None, None)),
         out_specs=(P(axis), P()),
         check_vma=False,
     )  # ``axis`` may be a tuple (host, chip): reads and table shards
     # then split over the flattened product axis, host-major
 
     @jax.jit
-    def step(dna, lengths, rows):
-        return fn(dna, lengths, rows)
+    def step(dna, lengths, rows, stash):
+        return fn(dna, lengths, rows, stash)
 
-    return lambda dna, lengths: step(dna, lengths, stable.rows)
+    return lambda dna, lengths: step(dna, lengths, stable.rows, stable.stash)
