@@ -183,8 +183,14 @@ def hit_geometry(dtax: DeviceTaxonomy, utaxa, uvalid) -> HitGeometry:
     onehot = (jnp.arange(D, dtype=jnp.int32)[None, None, :] == dep[:, :, None]
               ).astype(jnp.float32)  # (B, K_i, D)
     lin_f = lin.astype(jnp.float32)  # NONE = -1 stays representable
+    # Precision.HIGHEST: the values flowing through the MXU are taxon
+    # ids (up to ~2^24) and must stay EXACT — the TPU's default f32
+    # matmul precision truncates operands to bf16, which corrupts ids
+    # > 256 and broke the ancestor-equality compare on real hardware
+    # (CPU XLA computes true f32, so only TPU runs diverged).
     a = jnp.einsum("bid,bjd->bij", onehot, lin_f,
-                   preferred_element_type=jnp.float32)
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
     is_anc = (
         (a == utaxa.astype(jnp.float32)[:, :, None])
         & uvalid[:, :, None]

@@ -198,15 +198,19 @@ def rmq_mix_batch(dtax: DeviceTaxonomy, utaxa, ucounts, uvalid, factor: float):
     # cand i ancestor-or-self of input j: lin_input[j, depth_c[i]] == cand[i]
     onehot_c = (jnp.arange(D, dtype=jnp.int32)[None, None, :]
                 == cdep[:, :, None]).astype(jnp.float32)
+    # Precision.HIGHEST: taxon ids through the MXU must stay exact
+    # (TPU default matmul precision is bf16 — see agg/device.py)
     a = jnp.einsum("bid,bjd->bij", onehot_c, lin.astype(jnp.float32),
-                   preferred_element_type=jnp.float32)
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
     c_anc_i = (a == key.astype(jnp.float32)[:, :, None]) \
         & cvalid[:, :, None] & uvalid[:, None, :]
     # input j ancestor-or-self of cand i: lin_c[i, depth_in[j]] == input[j]
     onehot_i = (jnp.arange(D, dtype=jnp.int32)[None, None, :]
                 == idep[:, :, None]).astype(jnp.float32)
     a2 = jnp.einsum("bjd,bid->bji", onehot_i, clin.astype(jnp.float32),
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
     i_anc_c = (a2 == jnp.where(uvalid, utaxa, -2).astype(jnp.float32)[:, :, None]) \
         & uvalid[:, :, None] & cvalid[:, None, :]
 

@@ -947,8 +947,8 @@ def cmd_analyse(args, stdin, stdout):
         PRESETS,
         TRYPTIC_PRESETS,
         analyse_stream,
-        analyse_tryptic_groups,
     )
+    from .pipeline.tryptic import analyse_tryptic_device
     from .pipeline.runner import read_groups_fastq
 
     from .utils import device_trace
@@ -995,9 +995,10 @@ def cmd_analyse(args, stdin, stdout):
                 groups = list(_read_groups_fasta(sample["first"]))
                 ends = 1
             if tryptic:
-                results = analyse_tryptic_groups(
+                results = analyse_tryptic_device(
                     groups, stax, stable, TRYPTIC_PRESETS[preset],
-                    batch_size=args.batch_size)
+                    batch_size=args.batch_size,
+                    read_length=args.read_length, ends=ends)
             else:
                 results = analyse_stream(
                     groups, stax, stable, preset, ends=ends,

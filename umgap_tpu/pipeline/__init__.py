@@ -9,4 +9,5 @@ frequency dedup -> aggregate -> snap, with the index HBM-resident.
 
 from .fused import PipelineConfig, PRESETS, make_pipeline  # noqa: F401
 from .runner import analyse_paired, analyse_stream  # noqa: F401
-from .tryptic import TRYPTIC_PRESETS, analyse_tryptic_groups  # noqa: F401
+from .tryptic import (TRYPTIC_PRESETS, analyse_tryptic_device,  # noqa: F401
+                      analyse_tryptic_groups)

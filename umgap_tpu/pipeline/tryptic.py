@@ -89,6 +89,113 @@ def digest_groups(
     return hi, lo, valid
 
 
+def tryptic_digest_device(aa: jax.Array, plens: jax.Array,
+                          min_len: int = MIN_PEP, max_len: int = MAX_PEP):
+    """Fully vectorized tryptic digest + FNV fingerprinting on device.
+
+    Reproduces the realized semantics of the reference's double regex
+    pass + '*' split (/root/reference/src/commands/prot2tryp.rs:57-64,
+    equality-tested against :func:`umgap_tpu.ops.kmers.tryptic_digest`):
+    a fragment boundary falls after every K/R whose successor is not P,
+    and at every '*' (which is dropped). Fragments outside
+    [min_len, max_len] are dropped at emission (prot2tryp2lca -l/-L).
+
+    Args:
+      aa: (R, P) uint8 AA codes (padded with anything beyond plens).
+      plens: (R,) int32 valid lengths.
+
+    Returns:
+      (h1, h2, valid): (R, F) int32 fingerprint lanes + mask, fragments
+      in left-to-right order, F = P // min_len + 1.
+    """
+    from ..ops.encoding import AA_STOP
+
+    R, P = aa.shape
+    a = aa.astype(jnp.int32)
+    pos = jnp.arange(P, dtype=jnp.int32)
+    inside = pos[None, :] < plens[:, None]
+    member = inside & (a != AA_STOP)
+    K, Rc, Pc = 10, 17, 15  # 'K'-'A', 'R'-'A', 'P'-'A'
+    nxt_a = jnp.concatenate([a[:, 1:], jnp.full((R, 1), -1, a.dtype)], 1)
+    nxt_member = jnp.concatenate([member[:, 1:],
+                                  jnp.zeros((R, 1), bool)], 1)
+    cleave_after = (member & ((a == K) | (a == Rc))
+                    & nxt_member & (nxt_a != Pc))
+    prev_member = jnp.concatenate([jnp.zeros((R, 1), bool),
+                                   member[:, :-1]], 1)
+    prev_cleave = jnp.concatenate([jnp.zeros((R, 1), bool),
+                                   cleave_after[:, :-1]], 1)
+    newfrag = member & (~prev_member | prev_cleave)
+    frag_end = member & (~nxt_member | cleave_after)
+
+    # FNV-1a scan with per-fragment resets (P unrolled vector steps)
+    h1 = jnp.full((R,), _FNV_OFFSET, jnp.uint32)
+    h2 = jnp.full((R,), _FNV_OFFSET2, jnp.uint32)
+    ln = jnp.zeros((R,), jnp.int32)
+    e1 = []
+    e2 = []
+    elen = []
+    prime = jnp.uint32(_FNV_PRIME)
+    for j in range(P):
+        nf = newfrag[:, j]
+        h1 = jnp.where(nf, jnp.uint32(_FNV_OFFSET), h1)
+        h2 = jnp.where(nf, jnp.uint32(_FNV_OFFSET2), h2)
+        ln = jnp.where(nf, 0, ln)
+        m = member[:, j]
+        c = a[:, j].astype(jnp.uint32)
+        h1 = jnp.where(m, (h1 ^ c) * prime, h1)
+        h2 = jnp.where(m, (h2 ^ (c + jnp.uint32(0x9E37))) * prime, h2)
+        ln = jnp.where(m, ln + 1, ln)
+        e1.append(h1)
+        e2.append(h2)
+        elen.append(ln)
+    h1s = jnp.stack(e1, axis=1)  # (R, P)
+    h2s = jnp.stack(e2, axis=1)
+    lens = jnp.stack(elen, axis=1)
+    emit = frag_end & (lens >= min_len) & (lens <= max_len)
+    h1s = jnp.where(h1s == jnp.uint32(0xFFFFFFFF), jnp.uint32(0), h1s)
+
+    # compact emitted fragments left (order-preserving slotkey sort)
+    F = P // min_len + 1
+    BIG = jnp.int32(np.iinfo(np.int32).max)
+    slot = jnp.cumsum(emit.astype(jnp.int32), axis=1) - 1
+    slotkey = jnp.where(emit, slot, BIG)
+    sk, c1, c2 = jax.lax.sort(
+        (slotkey, h1s.astype(jnp.int32), h2s.astype(jnp.int32)),
+        dimension=-1, num_keys=1)
+    sk = jax.lax.slice_in_dim(sk, 0, F, axis=-1)
+    c1 = jax.lax.slice_in_dim(c1, 0, F, axis=-1)
+    c2 = jax.lax.slice_in_dim(c2, 0, F, axis=-1)
+    valid = sk != BIG
+    return c1, c2, valid
+
+
+def tryptic_pipeline_step(dna, lengths, dtax, dtable, config: PipelineConfig,
+                          min_len: int = MIN_PEP, max_len: int = MAX_PEP):
+    """Fused self-contained tryptic pipeline: 6-frame translate ->
+    device digest -> peptide-table probe (misses dropped, matching
+    prot2tryp2lca without -o) -> uniq-merged taxa2agg. Mirrors
+    pipeline.fused.pipeline_step but for the tryptic presets."""
+    B, E, L = dna.shape
+    table = encoding.get_table(config.table_number)
+    aa, plens = translate.translate6_batch(
+        dna.reshape(B * E, L), lengths.reshape(B * E), table)
+    Rr, NF, P = aa.shape
+    h1, h2, pvalid = tryptic_digest_device(
+        aa.reshape(Rr * NF, P), plens.reshape(Rr * NF), min_len, max_len)
+    F = h1.shape[-1]
+    taxa, found = lookup.probe(dtable, h1, h2, valid=pvalid, default=0)
+    hits = jnp.where(found & pvalid, taxa, 0).reshape(B, E * NF * F)
+    utaxa, ucounts, uvalid = devagg.dedup_counts(
+        hits, jnp.ones_like(hits, jnp.float32), config.k_max)
+    uvalid = devagg.filter_lower_bound(ucounts, uvalid, config.lower_bound)
+    agg = devagg.aggregate_batch(
+        dtax, utaxa, ucounts, uvalid, config.method, config.strategy,
+        config.factor)
+    snapped = devagg.snap_batch(dtax.snap_valid, agg, default=0)
+    return jnp.where(uvalid.any(axis=-1), snapped, 1).astype(jnp.int32)
+
+
 def make_tryptic_pipeline(dtax: devagg.DeviceTaxonomy,
                           dtable: lookup.DeviceTable,
                           config: PipelineConfig, max_peptides: int = 128):
@@ -108,6 +215,38 @@ def make_tryptic_pipeline(dtax: devagg.DeviceTaxonomy,
         return jnp.where(uvalid.any(axis=-1), snapped, 1).astype(jnp.int32)
 
     return lambda hi, lo, valid: step(hi, lo, valid, dtable, dtax)
+
+
+def analyse_tryptic_device(groups, tax, table, config: PipelineConfig,
+                           batch_size: int = 256, read_length: int = 160,
+                           ends: int = 2):
+    """Fully fused tryptic analysis: translate + digest + fingerprint +
+    probe + aggregate in ONE device program per batch (the tryptic
+    analogue of pipeline.runner; reads are clipped to ``read_length``
+    like the 9-mer path). The host-digest path
+    (:func:`analyse_tryptic_groups`) remains as the parity oracle."""
+    import jax as _jax
+
+    from .runner import encode_batch
+
+    dtax = devagg.DeviceTaxonomy.from_host(tax)
+    dtable = lookup.DeviceTable.from_host(table)
+
+    @_jax.jit
+    def step(dna, lens, dtable, dtax):
+        return tryptic_pipeline_step(dna, lens, dtax, dtable, config)
+
+    groups = list(groups)
+    out = []
+    for i in range(0, len(groups), batch_size):
+        chunk = groups[i : i + batch_size]
+        seqs = [g[1] for g in chunk] + [[""] * ends] * (
+            batch_size - len(chunk))
+        dna, lens = encode_batch(seqs, ends, read_length)
+        taxa = np.asarray(step(jnp.asarray(dna), jnp.asarray(lens),
+                               dtable, dtax))
+        out.extend((h, int(t)) for (h, _s), t in zip(chunk, taxa))
+    return out
 
 
 def analyse_tryptic_groups(groups, tax, table, config: PipelineConfig,
