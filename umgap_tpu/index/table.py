@@ -57,6 +57,9 @@ _FNV_OFFSET2 = np.uint32(0xCBF29CE4)
 # can never alias across rounds; bit 31 stays 0, keeping EMPTY = -1
 # unambiguous.
 MIN_NB_BITS = 15
+# bucket-8 single-gather geometry tops out near this key count (the
+# 25-bit bucket-index cap); larger single tables use bucket16 geometry
+BUCKET8S_MAX_KEYS = 90_000_000
 MAX_NB_BITS = 25
 DIST_BIT = np.int32(1 << 30)
 
@@ -624,7 +627,7 @@ def build_kmer_table(packed: np.ndarray, values: np.ndarray, k: int,
     """
     if layout == "bucket8s":
         try:
-            if len(values) > 90_000_000:
+            if len(values) > BUCKET8S_MAX_KEYS:
                 raise ValueError("key count beyond bucket-8 geometry")
             return KmerTable.build(packed, values, k, bucket=8,
                                    max_probe_limit=0, stash_cap=256, **kw)
