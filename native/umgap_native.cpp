@@ -52,7 +52,8 @@ extern "C" {
 //
 //   buf, n       : whole-file buffer
 //   out_codes    : cap_reads * max_len bytes, prefilled by caller (N=4)
-//   out_lens     : cap_reads int32 (clipped to max_len)
+//   out_lens     : cap_reads int32 (TRUE sequence length, NOT clipped;
+//                  only the code rows are clipped at max_len)
 //   hdr_starts/hdr_ends : byte spans of each header (without '@')
 //   returns      : number of reads parsed, or -1 on malformed input
 long umgap_parse_fastq(const char* buf, long n,
@@ -85,7 +86,8 @@ long umgap_parse_fastq(const char* buf, long n,
             p = eol < end ? eol + 1 : end;
         }
         long nseq_chars = len;
-        out_lens[count] = (int)(len < max_len ? len : max_len);
+        out_lens[count] = (int)len;  // TRUE length; codes clipped at max_len
+                                     // (host clamps and can re-bucket)
         // '+' separator line
         if (p < end && *p == '+') {
             eol = find_eol(p, end);
@@ -131,7 +133,7 @@ long umgap_parse_fasta(const char* buf, long n,
                 if (len < max_len) row[len] = kDna.t[(unsigned char)*q];
                 len++;
             }
-            out_lens[count] = (int)(len < max_len ? len : max_len);
+            out_lens[count] = (int)len;  // TRUE length (see fastq above)
         } else {
             return -1;  // content before first header
         }

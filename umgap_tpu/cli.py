@@ -766,7 +766,10 @@ def build_parser() -> argparse.ArgumentParser:
                          "discovery)")
     sp.add_argument("-c", "--configdir", default=None,
                     help="config directory for data discovery")
-    sp.add_argument("--batch-size", type=int, default=1024)
+    sp.add_argument("--batch-size", type=int, default=16384,
+                    help="max reads per device batch (the benched "
+                         "throughput point; small samples use smaller "
+                         "power-of-two buckets automatically)")
     sp.add_argument("--read-length", type=int, default=160)
     sp.add_argument("--trace-dir", default=None,
                     help="write a JAX profiler (xprof) trace here")
@@ -936,22 +939,66 @@ def _read_groups_fasta(path: str, delimiter: str = "/"):
             yield header, [rec.sequence[0] if rec.sequence else ""]
 
 
+# Sequences longer than the top width bucket are clipped (with a
+# warning); covers full Illumina / long-read amplicon ranges.  The
+# tryptic presets re-route longer records through the host-digest path
+# instead (see _run_sample_fallback).
+ANALYSE_WIDTH_CAP = 4096
+
+
+def _pow2_bucket(n: int, lo: int, hi: int) -> int:
+    """Smallest power-of-two >= n within [lo, hi] (each compiled batch
+    geometry is one program; buckets keep the compile count tiny)."""
+    b = lo
+    while b < n and b < hi:
+        b *= 2
+    return min(b, hi)
+
+
+def _analyse_width_ladder(read_length: int):
+    ladder = [read_length]
+    w = 256
+    while w <= ANALYSE_WIDTH_CAP:
+        if w > ladder[-1]:
+            ladder.append(w)
+        w *= 2
+    return ladder
+
+
+class _LongTrypticSample(Exception):
+    """Tryptic sample holds records beyond read_length: the device
+    digest's compile cost scales with width, so re-route the sample
+    through the host-digest + device-probe path."""
+
+
 def cmd_analyse(args, stdin, stdout):
     """The six preset pipelines, fused on device
     (scripts/umgap-analyse.sh:276-311; FGSpp replaced by 6-frame
     translation for the non-tryptic front end). Supports the script's
     multi-sample mode: repeated -1/-2/-t/-z/-o groups share the loaded
-    taxonomy and device-resident indexes across samples (the analogue
-    of its socket index service)."""
-    from .pipeline import (
-        PRESETS,
-        TRYPTIC_PRESETS,
-        analyse_stream,
-    )
-    from .pipeline.tryptic import analyse_tryptic_device
-    from .pipeline.runner import read_groups_fastq
+    taxonomy, the device-resident indexes AND the compiled programs
+    across samples (the analogue of its socket index service).
 
-    from .utils import device_trace
+    Ingestion streams: the native parser feeds padded code arrays
+    chunk-by-chunk (O(chunk) host memory on multi-GB inputs), batch
+    sizes are bucketed powers of two up to ``--batch-size`` so small
+    samples compile small programs and large samples run the full
+    benched batch, and read-length buckets grow along a ladder when a
+    sample holds records longer than ``--read-length`` (instead of
+    silently clipping them)."""
+    import itertools
+
+    from .agg import device as devagg
+    from .ops import lookup
+    from .pipeline import PRESETS, TRYPTIC_PRESETS
+    from .pipeline.runner import (
+        Analyser,
+        read_groups_fastq,
+        stream_paired_chunks,
+        stream_single_chunks,
+    )
+    from .pipeline.tryptic import TrypticAnalyser, analyse_tryptic_groups
+    from .utils import device_trace, log, verbose
 
     samples = _analyse_samples(args)
 
@@ -982,28 +1029,154 @@ def cmd_analyse(args, stdin, stdout):
             tables[tryptic] = _load_table(index_path)
         return tax, tables[tryptic]
 
+    # Device state and compiled analysers shared across samples: a
+    # two-sample run traces/compiles each (preset, batch, length)
+    # program once (compiles dominate multi-sample wall time here).
+    dev: dict = {}
+    analysers: dict = {}
+
+    def get_analyser(preset: str, tryptic: bool, B: int, L: int, ends: int,
+                     stax, stable_):
+        key = (preset, B, L, ends)
+        a = analysers.get(key)
+        if a is None:
+            if "dtax" not in dev:
+                dev["dtax"] = devagg.DeviceTaxonomy.from_host(stax)
+            dk = ("dtable", tryptic)
+            if dk not in dev:
+                dev[dk] = lookup.DeviceTable.from_host(stable_)
+            config = (TRYPTIC_PRESETS if tryptic else PRESETS)[preset]
+            cls = TrypticAnalyser if tryptic else Analyser
+            a = cls(stax, stable_, config, batch_size=B, read_length=L,
+                    ends=ends, dtax=dev["dtax"], dtable=dev[dk])
+            analysers[key] = a
+        else:
+            a.reset()
+        return a
+
+    def batch_cap(L: int) -> int:
+        # shrink batches as length buckets grow (bounded device batch)
+        return max(64, (args.batch_size * args.read_length) // L)
+
+    def run_sample_stream(sample, preset, tryptic, stax, stable_):
+        """Native streaming path; yields (header, taxon) in order."""
+        paired = bool(sample["second"])
+        ends = 2 if paired else 1
+        ladder = _analyse_width_ladder(args.read_length)
+        if tryptic:
+            # device digest compile cost scales with width: no ladder —
+            # longer records re-route to the host-digest path
+            ladder = [args.read_length]
+        if paired:
+            chunks = iter(stream_paired_chunks(
+                sample["first"], sample["second"], args.read_length,
+                width_ladder=ladder))
+        else:
+            chunks = iter(stream_single_chunks(
+                sample["first"], args.read_length, "fasta",
+                width_ladder=ladder))
+
+        # Pre-buffer up to one full batch to size the batch bucket.
+        buffered = []
+        total = 0
+        exhausted = False
+        while total < args.batch_size:
+            try:
+                ch = next(chunks)
+            except StopIteration:
+                exhausted = True
+                break
+            buffered.append(ch)
+            total += len(ch[0])
+        n_hint = total if exhausted else 1 << 60
+
+        analyser = None
+        warned = False
+        for headers, dna, lens, tmax in itertools.chain(buffered, chunks):
+            Lw = dna.shape[-1]
+            if tryptic and tmax > args.read_length:
+                raise _LongTrypticSample
+            if tmax > ladder[-1] and not warned:
+                log(f"Warning: records up to {tmax} bp exceed the "
+                    f"{ladder[-1]} bp width cap and are clipped.")
+                warned = True
+            if analyser is None or Lw > analyser.read_length:
+                if analyser is not None:
+                    verbose(f"read-length bucket {analyser.read_length} -> "
+                            f"{Lw}: draining and recompiling")
+                    yield from analyser.finish()
+                B = _pow2_bucket(n_hint, 64, batch_cap(Lw))
+                analyser = get_analyser(preset, tryptic, B, Lw, ends,
+                                        stax, stable_)
+            yield from analyser.feed(headers, dna, lens)
+        if analyser is not None:
+            yield from analyser.finish()
+
+    def run_sample_fallback(sample, preset, tryptic, stax, stable_):
+        """Python-reader path (native parser unavailable, exotic record
+        shapes, or long tryptic records)."""
+        if sample["second"]:
+            groups = list(read_groups_fastq(
+                [sample["first"], sample["second"]]))
+            ends = 2
+        else:
+            groups = list(_read_groups_fasta(sample["first"]))
+            ends = 1
+        if tryptic:
+            maxlen = max((len(s) for _h, ss in groups for s in ss),
+                         default=0)
+            if maxlen > args.read_length:
+                verbose("tryptic sample has records beyond --read-length; "
+                        "using the host-digest path (full-length digest)")
+                yield from analyse_tryptic_groups(
+                    groups, stax, stable_, TRYPTIC_PRESETS[preset],
+                    batch_size=min(args.batch_size, 1024))
+                return
+        ladder = _analyse_width_ladder(args.read_length)
+        maxlen = max((len(s) for _h, ss in groups for s in ss), default=0)
+        L = next((w for w in ladder if w >= maxlen), ladder[-1])
+        B = _pow2_bucket(len(groups), 64, batch_cap(L))
+        analyser = get_analyser(preset, tryptic, B, L, ends, stax, stable_)
+        yield from analyser.analyse_groups(groups)
+
+    def run_sample(sample, preset, tryptic, stax, stable_):
+        from .io import native
+
+        native_ok = False
+        try:
+            native_ok = native.ensure_built()
+        except (OSError, RuntimeError):
+            native_ok = False
+        emitted = 0
+        if native_ok:
+            from .io.native import StreamUnsupported
+
+            try:
+                for r in run_sample_stream(sample, preset, tryptic, stax,
+                                           stable_):
+                    emitted += 1
+                    yield r
+                return
+            except (StreamUnsupported, _LongTrypticSample):
+                # Restart the sample through the fallback reader.  Reads
+                # already emitted were parsed and analysed correctly
+                # (the trigger sits strictly after them in the stream),
+                # and both paths are order-preserving and per-read
+                # deterministic — so skip that prefix of the rerun.
+                for a in analysers.values():
+                    a.reset()
+        import itertools as _it
+
+        yield from _it.islice(
+            run_sample_fallback(sample, preset, tryptic, stax, stable_),
+            emitted, None)
+
     with device_trace(getattr(args, "trace_dir", None)):
         for sample in samples:
             preset = sample["type"]
             tryptic = preset in TRYPTIC_PRESETS
             stax, stable = load_world(tryptic)
-            if sample["second"]:
-                groups = list(read_groups_fastq(
-                    [sample["first"], sample["second"]]))
-                ends = 2
-            else:
-                groups = list(_read_groups_fasta(sample["first"]))
-                ends = 1
-            if tryptic:
-                results = analyse_tryptic_device(
-                    groups, stax, stable, TRYPTIC_PRESETS[preset],
-                    batch_size=args.batch_size,
-                    read_length=args.read_length, ends=ends)
-            else:
-                results = analyse_stream(
-                    groups, stax, stable, preset, ends=ends,
-                    batch_size=args.batch_size,
-                    read_length=args.read_length)
+            results = run_sample(sample, preset, tryptic, stax, stable)
 
             out_path = sample["output"]
             if out_path is None or out_path == "-":

@@ -204,6 +204,12 @@ def _insert_bucketized(bucket0: np.ndarray, payloads, cap: int,
     return outs, max_probes, pending
 
 
+class TableGeometryError(ValueError):
+    """A table layout cannot represent the requested capacity (e.g. the
+    25-bit bucket-index cap) — distinct from generic ValueErrors so
+    layout fallbacks never mask unrelated bugs."""
+
+
 def _pow2_capacity(n: int, load_factor: float, min_cap: int) -> int:
     cap = min_cap
     while cap * load_factor < max(n, 1):
@@ -280,7 +286,8 @@ class KmerTable:
         while True:
             nb_bits = int(np.log2(max(cap // bucket, 1)))
             if nb_bits > MAX_NB_BITS:
-                raise ValueError("table too large for 25-bit bucket index")
+                raise TableGeometryError(
+                    "table too large for 25-bit bucket index")
             bucket0 = (mlo & np.uint32((1 << nb_bits) - 1)).astype(np.int64)
             rem = ((mlo >> np.uint32(nb_bits))
                    | (mhi << np.uint32(25 - nb_bits))).astype(np.int32)
@@ -626,21 +633,26 @@ def build_kmer_table(packed: np.ndarray, values: np.ndarray, k: int,
       2 full gathers); superseded by the ``*s`` single-gather layouts.
     """
     if layout == "bucket8s":
-        try:
-            if len(values) > BUCKET8S_MAX_KEYS:
-                raise ValueError("key count beyond bucket-8 geometry")
-            return KmerTable.build(packed, values, k, bucket=8,
-                                   max_probe_limit=0, stash_cap=256, **kw)
-        except ValueError:
-            # the 25-bit bucket-index cap limits bucket-8 tables to
-            # 2^25 buckets (~120M keys at the default load); very large
-            # single tables degrade to the denser 16-slot geometry
-            # (indexes beyond ~350M keys must be sharded — index/scale.py)
-            return KmerTable.build(packed, values, k, bucket=16,
-                                   max_probe_limit=0, **kw)
+        # The 25-bit bucket-index cap limits bucket-8 tables to 2^25
+        # buckets (~120M keys at the default load); very large single
+        # tables degrade to the denser 16-slot geometry (indexes beyond
+        # ~350M keys must be sharded — index/scale.py). Only the
+        # geometry overflow triggers the fallback; any other error is a
+        # real bug and propagates.
+        if len(values) <= BUCKET8S_MAX_KEYS:
+            kw8 = dict(kw)
+            kw8.setdefault("stash_cap", 256)
+            try:
+                return KmerTable.build(packed, values, k, bucket=8,
+                                       max_probe_limit=0, **kw8)
+            except TableGeometryError:
+                pass
+        return KmerTable.build(packed, values, k, bucket=16,
+                               max_probe_limit=0, **kw)
     if layout == "bucket4s":
+        kw.setdefault("stash_cap", 256)
         return KmerTable.build(packed, values, k, bucket=4,
-                               max_probe_limit=0, stash_cap=256, **kw)
+                               max_probe_limit=0, **kw)
     if layout == "bucket16":
         return KmerTable.build(packed, values, k, bucket=16,
                                max_probe_limit=0, **kw)

@@ -110,6 +110,10 @@ def available() -> bool:
 
 
 def _parse(fn_name: str, data: bytes, max_len: int, cap_reads: int):
+    """Returns (headers, codes, clipped lens, true max length). The
+    native parser reports TRUE sequence lengths; codes rows are clipped
+    at ``max_len`` — callers can re-parse at a wider bucket when
+    ``true_max > max_len`` instead of silently truncating."""
     fn = getattr(_lib, fn_name)
     codes = np.full((cap_reads, max_len), 4, dtype=np.uint8)  # N
     lens = np.zeros(cap_reads, dtype=np.int32)
@@ -127,7 +131,18 @@ def _parse(fn_name: str, data: bytes, max_len: int, cap_reads: int):
     if n < 0:
         raise ValueError(f"malformed input for {fn_name}")
     headers = [data[hs[i]:he[i]].decode() for i in range(n)]
-    return headers, codes[:n], lens[:n]
+    lens = lens[:n]
+    true_max = int(lens.max()) if n else 0
+    return headers, codes[:n], np.minimum(lens, max_len), true_max
+
+
+def _parse_all(fn_name: str, data: bytes, max_len: int, cap: int):
+    cap = max(cap, 16)
+    while True:
+        headers, codes, lens, tmax = _parse(fn_name, data, max_len, cap)
+        if len(headers) < cap:
+            return headers, codes, lens, tmax
+        cap *= 4
 
 
 def parse_fastq_file(path: str, max_len: int = 160,
@@ -137,12 +152,7 @@ def parse_fastq_file(path: str, max_len: int = 160,
         raise RuntimeError("native library unavailable")
     with open(path, "rb") as f:
         data = f.read()
-    cap = max(cap_hint, 16)
-    while True:
-        headers, codes, lens = _parse("umgap_parse_fastq", data, max_len, cap)
-        if len(headers) < cap:
-            return headers, codes, lens
-        cap *= 4
+    return _parse_all("umgap_parse_fastq", data, max_len, cap_hint)[:3]
 
 
 def parse_fasta_file(path: str, max_len: int = 160,
@@ -151,12 +161,109 @@ def parse_fasta_file(path: str, max_len: int = 160,
         raise RuntimeError("native library unavailable")
     with open(path, "rb") as f:
         data = f.read()
-    cap = max(cap_hint, 16)
-    while True:
-        headers, codes, lens = _parse("umgap_parse_fasta", data, max_len, cap)
-        if len(headers) < cap:
-            return headers, codes, lens
-        cap *= 4
+    return _parse_all("umgap_parse_fasta", data, max_len, cap_hint)[:3]
+
+
+# ---------------------------------------------------------------------- #
+# Streaming chunked parse (constant memory over multi-GB inputs)
+# ---------------------------------------------------------------------- #
+
+def _open_stream(path: str):
+    """Binary stream; gzip sniffed by magic (umgap-analyse.sh:159-175)."""
+    f = open(path, "rb")
+    magic = f.read(2)
+    f.seek(0)
+    if magic == b"\x1f\x8b":
+        import gzip
+
+        return gzip.open(f, "rb")
+    return f
+
+
+class StreamUnsupported(ValueError):
+    """The input's shape defeats chunked native parsing (e.g. multi-line
+    FASTQ records); callers fall back to the Python reader."""
+
+
+def _fastq_cut(buf: bytes, eof: bool) -> int:
+    """Byte offset of the last complete-FASTQ-record boundary.
+
+    Valid ONLY for strict 4-line records (all real-world FASTQ; the
+    readers also accept multi-line records, src/io/fastq.rs:60-77), so
+    the 4-line shape is VERIFIED vectorized — every record's line 0
+    must start '@' and line 2 must start '+' — and violations raise
+    :class:`StreamUnsupported` rather than silently mis-cutting."""
+    a = np.frombuffer(buf, np.uint8)
+    nl = np.flatnonzero(a == 10)
+    if eof:
+        m = len(nl) + (1 if len(buf) and buf[-1] != 0x0A else 0)
+        if m % 4:
+            raise StreamUnsupported("fastq line count not a multiple of 4")
+        cut = len(buf)
+    else:
+        m = (len(nl) // 4) * 4
+        if m == 0:
+            return 0
+        cut = int(nl[m - 1]) + 1
+    starts = np.concatenate([np.zeros(1, np.int64), nl + 1])
+    if not ((a[starts[0:m:4]] == ord("@")).all()
+            and (a[starts[2:m:4]] == ord("+")).all()):
+        raise StreamUnsupported("fastq records are not strictly 4-line")
+    return cut
+
+
+def _fasta_cut(buf: bytes, eof: bool) -> int:
+    """Cut before the last header line ('\\n>') so every parsed record
+    is complete; 0 when the chunk holds at most one record start."""
+    if eof:
+        return len(buf)
+    i = buf.rfind(b"\n>")
+    return i + 1 if i >= 0 else 0
+
+
+def stream_parse(path: str, fmt: str, max_len: int = 160,
+                 chunk_bytes: int = 32 << 20,
+                 width_ladder: Optional[list] = None):
+    """Yield (headers, codes, lens, true_max) per chunk of a (possibly
+    gzipped) FASTQ/FASTA file, holding O(chunk_bytes) on the host.
+
+    ``lens`` are clipped to the chunk's code width; ``true_max`` is the
+    widest sequence actually seen in the chunk.  With a ``width_ladder``
+    (ascending widths, first >= ``max_len``), a chunk containing a
+    record longer than the current width is re-parsed at the smallest
+    ladder width that fits, and all later chunks use that width too —
+    code widths only grow over a stream.  Records longer than the TOP
+    ladder width stay clipped (true_max tells the caller to warn)."""
+    if not available():
+        raise RuntimeError("native library unavailable")
+    fn = {"fastq": "umgap_parse_fastq", "fasta": "umgap_parse_fasta"}[fmt]
+    cut = {"fastq": _fastq_cut, "fasta": _fasta_cut}[fmt]
+    cap_hint = max(chunk_bytes // 64, 1 << 10)
+    width = max_len
+    tail = b""
+    with _open_stream(path) as f:
+        while True:
+            data = f.read(chunk_bytes)
+            eof = len(data) < chunk_bytes
+            buf = tail + data if tail else data
+            if not buf:
+                return
+            at = cut(buf, eof)
+            if at == 0:  # no boundary yet: keep growing the buffer
+                tail = buf
+                continue
+            buf, tail = buf[:at], buf[at:]
+            if buf:
+                out = _parse_all(fn, buf, width, cap_hint)
+                if width_ladder and out[3] > width:
+                    new_w = next((w for w in width_ladder if w >= out[3]),
+                                 width_ladder[-1])
+                    if new_w > width:
+                        width = new_w
+                        out = _parse_all(fn, buf, width, cap_hint)
+                yield out
+            if eof and not tail:
+                return
 
 
 def split_kmers_tsv(data: bytes, k: int = 9,

@@ -21,6 +21,7 @@ from ..agg import device as devagg
 from ..index.table import _FNV_OFFSET, _FNV_OFFSET2, _FNV_PRIME
 from ..ops import encoding, kmers as kmerops, lookup, translate
 from .fused import PipelineConfig
+from .runner import Analyser
 
 TRYPTIC_PRESETS = {
     "tryptic-sensitivity": PipelineConfig(
@@ -171,11 +172,16 @@ def tryptic_digest_device(aa: jax.Array, plens: jax.Array,
 
 
 def tryptic_pipeline_step(dna, lengths, dtax, dtable, config: PipelineConfig,
-                          min_len: int = MIN_PEP, max_len: int = MAX_PEP):
+                          min_len: int = MIN_PEP, max_len: int = MAX_PEP,
+                          euler=None, with_overflow: bool = False):
     """Fused self-contained tryptic pipeline: 6-frame translate ->
     device digest -> peptide-table probe (misses dropped, matching
     prot2tryp2lca without -o) -> uniq-merged taxa2agg. Mirrors
-    pipeline.fused.pipeline_step but for the tryptic presets."""
+    pipeline.fused.pipeline_step but for the tryptic presets.
+
+    ``with_overflow`` also returns a (B,) bool marking reads whose
+    distinct hit taxa exceed ``config.k_max`` (the runner re-routes
+    those through an exact wide program — never silent truncation)."""
     B, E, L = dna.shape
     table = encoding.get_table(config.table_number)
     aa, plens = translate.translate6_batch(
@@ -186,14 +192,18 @@ def tryptic_pipeline_step(dna, lengths, dtax, dtable, config: PipelineConfig,
     F = h1.shape[-1]
     taxa, found = lookup.probe(dtable, h1, h2, valid=pvalid, default=0)
     hits = jnp.where(found & pvalid, taxa, 0).reshape(B, E * NF * F)
-    utaxa, ucounts, uvalid = devagg.dedup_counts(
-        hits, jnp.ones_like(hits, jnp.float32), config.k_max)
+    utaxa, ucounts, uvalid, nuniq = devagg.dedup_counts(
+        hits, jnp.ones_like(hits, jnp.float32), config.k_max,
+        return_nuniq=True)
     uvalid = devagg.filter_lower_bound(ucounts, uvalid, config.lower_bound)
     agg = devagg.aggregate_batch(
         dtax, utaxa, ucounts, uvalid, config.method, config.strategy,
-        config.factor)
+        config.factor, euler=euler)
     snapped = devagg.snap_batch(dtax.snap_valid, agg, default=0)
-    return jnp.where(uvalid.any(axis=-1), snapped, 1).astype(jnp.int32)
+    taxon = jnp.where(uvalid.any(axis=-1), snapped, 1).astype(jnp.int32)
+    if with_overflow:
+        return taxon, nuniq > config.k_max
+    return taxon
 
 
 def make_tryptic_pipeline(dtax: devagg.DeviceTaxonomy,
@@ -217,6 +227,50 @@ def make_tryptic_pipeline(dtax: devagg.DeviceTaxonomy,
     return lambda hi, lo, valid: step(hi, lo, valid, dtable, dtax)
 
 
+def make_tryptic_fused(dtax, dtable, config: PipelineConfig, euler=None,
+                       wire: str = "codes", with_overflow: bool = False):
+    """Jitted (dna, lengths) -> per-read taxon for the fused tryptic
+    pipeline (the tryptic analogue of fused.make_pipeline, including
+    the 4-bit packed wire)."""
+    import functools
+
+    if wire == "packed4":
+
+        @functools.partial(jax.jit, static_argnames=("length",))
+        def step_p(dna4, lengths, dtable, dtax, euler, length):
+            dna = encoding.unpack_dna4_device(dna4, length)
+            return tryptic_pipeline_step(dna, lengths, dtax, dtable, config,
+                                         euler=euler,
+                                         with_overflow=with_overflow)
+
+        return lambda dna4, lengths, length: step_p(
+            dna4, lengths, dtable, dtax, euler, length)
+
+    @jax.jit
+    def step(dna, lengths, dtable, dtax, euler):
+        return tryptic_pipeline_step(dna, lengths, dtax, dtable, config,
+                                     euler=euler, with_overflow=with_overflow)
+
+    return lambda dna, lengths: step(dna, lengths, dtable, dtax, euler)
+
+
+class TrypticAnalyser(Analyser):
+    """Streaming tryptic analyser: same batching/pipelining/overflow
+    machinery as the 9-mer :class:`~umgap_tpu.pipeline.runner.Analyser`,
+    with the fused tryptic step (device digest + peptide-table probe)."""
+
+    def _make_step(self, config: PipelineConfig, with_overflow: bool):
+        return make_tryptic_fused(self.dtax, self.dtable, config,
+                                  self._euler, wire="packed4",
+                                  with_overflow=with_overflow)
+
+    def _exact_kmax(self) -> int:
+        # every digest fragment slot its own taxon: E ends x 6 frames x
+        # (P // min_len + 1) fragment slots (see tryptic_digest_device)
+        P = self.read_length // 3
+        return self.ends * 6 * (P // MIN_PEP + 1)
+
+
 def analyse_tryptic_device(groups, tax, table, config: PipelineConfig,
                            batch_size: int = 256, read_length: int = 160,
                            ends: int = 2):
@@ -225,28 +279,9 @@ def analyse_tryptic_device(groups, tax, table, config: PipelineConfig,
     analogue of pipeline.runner; reads are clipped to ``read_length``
     like the 9-mer path). The host-digest path
     (:func:`analyse_tryptic_groups`) remains as the parity oracle."""
-    import jax as _jax
-
-    from .runner import encode_batch
-
-    dtax = devagg.DeviceTaxonomy.from_host(tax)
-    dtable = lookup.DeviceTable.from_host(table)
-
-    @_jax.jit
-    def step(dna, lens, dtable, dtax):
-        return tryptic_pipeline_step(dna, lens, dtax, dtable, config)
-
-    groups = list(groups)
-    out = []
-    for i in range(0, len(groups), batch_size):
-        chunk = groups[i : i + batch_size]
-        seqs = [g[1] for g in chunk] + [[""] * ends] * (
-            batch_size - len(chunk))
-        dna, lens = encode_batch(seqs, ends, read_length)
-        taxa = np.asarray(step(jnp.asarray(dna), jnp.asarray(lens),
-                               dtable, dtax))
-        out.extend((h, int(t)) for (h, _s), t in zip(chunk, taxa))
-    return out
+    analyser = TrypticAnalyser(tax, table, config, batch_size,
+                               read_length, ends)
+    return list(analyser.analyse_groups(groups))
 
 
 def analyse_tryptic_groups(groups, tax, table, config: PipelineConfig,
