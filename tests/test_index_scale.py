@@ -87,3 +87,38 @@ def test_native_matches_numpy(tax):
                                use_native=False)
     assert np.array_equal(nk, pk)
     assert np.array_equal(nv, pv)
+
+
+def test_wide_groups_beyond_cap_are_exact(tax, capsys):
+    """Groups with more distinct taxa than group_cap must aggregate
+    EXACTLY (dynamic wide bucket + logged note), matching the streaming
+    oracle — previously they silently produced value 0."""
+    rng = np.random.default_rng(29)
+    # one group with 30 distinct taxa (> cap 8), plus normal groups
+    wide_key = np.uint64(12345)
+    packed = np.concatenate([
+        np.full(60, wide_key, dtype=np.uint64),
+        np.sort(rng.integers(2 ** 20, 2 ** 45, size=200, dtype=np.uint64)),
+    ])
+    tids = np.concatenate([
+        np.repeat(rng.choice(np.arange(2, 3001), size=30, replace=False), 2),
+        rng.integers(1, 3001, size=200),
+    ]).astype(np.int64)
+    order = np.argsort(packed, kind="stable")
+    packed, tids = packed[order], tids[order]
+
+    keys, values = join_kmers_sorted(packed, tids, tax, group_cap=8,
+                                     use_native=False)
+    err = capsys.readouterr().err
+    assert "exceed group_cap=8" in err
+
+    def rows():
+        for p, t in zip(packed, tids):
+            yield kmerops.unpack_kmer(int(p), 9), int(t)
+
+    expected = {}
+    for kmer, taxon, _rank in join_kmers(rows(), tax):
+        expected[kmer] = taxon
+    got = {kmerops.unpack_kmer(int(k), 9): int(v) for k, v in
+           zip(keys, values)}
+    assert got == expected

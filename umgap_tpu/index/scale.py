@@ -98,10 +98,11 @@ def join_kmers_sorted(
     Args:
       packed: (N,) uint64 k-mer keys, ascending (duplicates = group).
       tids: (N,) taxon ids parallel to ``packed``.
-      group_cap: max distinct taxa per group fed to the aggregator;
-        groups beyond it keep their ``group_cap`` most frequent taxa
-        (reference streams unlimited groups; real groups this wide are
-        pathological and the truncation is logged by callers).
+      group_cap: bucketing granularity for the dense (G, K) batches —
+        NOT a truncation: groups with more distinct taxa than
+        ``group_cap`` run through one extra dynamically-sized bucket
+        (with a logged note; real groups this wide are pathological),
+        so both paths aggregate unlimited groups like the reference.
 
     Returns (keys, values): one rank-snapped taxon per surviving k-mer.
     """
@@ -165,6 +166,17 @@ def join_kmers_sorted(
     caps = [c for c in (4, 16, group_cap) if c <= group_cap]
     if caps and caps[-1] != group_cap:
         caps.append(group_cap)
+    maxsz = int(grp_sizes.max())
+    if maxsz > group_cap:
+        # pathological ultra-wide groups: one dynamically-sized bucket
+        # keeps the aggregation exact (the reference streams unlimited
+        # groups too, src/commands/joinkmers.rs:53-104)
+        from ..utils import log
+
+        n_wide = int((grp_sizes > group_cap).sum())
+        log(f"joinkmers: {n_wide} group(s) exceed group_cap={group_cap} "
+            f"(widest {maxsz}); aggregating exactly in a wide bucket")
+        caps.append(maxsz)
     prev = 1
     for cap in caps:
         sel = (grp_sizes > prev) & (grp_sizes <= cap)
@@ -190,5 +202,4 @@ def join_kmers_sorted(
                                JOINKMERS_FACTOR)
             values[g_ids[sl]] = ranksnap[agg]
 
-    # truncated overly-wide groups: anything past cap was dropped above
     return keys, values

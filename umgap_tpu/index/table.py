@@ -699,10 +699,13 @@ class PeptideTable:
 
     @classmethod
     def build(cls, peptides, values: np.ndarray,
-              load_factor: float = 0.45, store_keys: bool = True) -> "PeptideTable":
+              load_factor: float = 0.45, store_keys: bool = True,
+              capacity: int | None = None) -> "PeptideTable":
+        """``capacity`` pins the table size (power of two) — used by the
+        sharded build so every shard's rows stay rectangular."""
         peptides = list(peptides)
         hi, lo = _fingerprints(peptides)
-        cap = _pow2_capacity(len(values), load_factor, 64)
+        cap = capacity or _pow2_capacity(len(values), load_factor, 64)
         n_buckets = max(cap // BUCKET, 1)
         bucket0 = (hash32(hi, lo) & np.uint32(n_buckets - 1)).astype(np.int64)
         (kh, kl, kv), max_probes, _ = _insert_bucketized(

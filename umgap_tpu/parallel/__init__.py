@@ -10,7 +10,14 @@ and returned the same way, and sample-level frequency tables merge with
 """
 
 from .mesh import make_mesh  # noqa: F401
-from .sharded import ShardedTable, build_sharded_tables, make_sharded_pipeline  # noqa: F401
+from .sharded import (  # noqa: F401
+    ShardedAnalyser,
+    ShardedTable,
+    build_sharded_peptide_tables,
+    build_sharded_tables,
+    make_sharded_pipeline,
+    make_sharded_tryptic_pipeline,
+)
 from .multihost import (  # noqa: F401
     flat_mesh,
     global_batch,

@@ -22,13 +22,22 @@ from ..ops import kmers as kmerops
 from ..ops import lookup
 
 
-def owner_of(hi, lo, n_shards: int):
-    """Shard owner by range-partitioning the hash's upper 16 bits (the
-    slot index uses the lower bits, keeping the two independent)."""
-    h = hash32(hi, lo) if isinstance(hi, np.ndarray) else lookup.hash32_device(hi, lo)
-    top = (h >> 16).astype(jnp.uint32 if not isinstance(hi, np.ndarray) else np.uint32)
+def owner_of(hi, lo, n_shards: int, kind: str = "kmer"):
+    """Shard owner by range-partitioning a hash's upper 16 bits.
+
+    ``kmer``: the k-mer probe's bucket index comes from ``mix_key``'s
+    low bits, so ``hash32``'s top bits are independent of it.
+    ``peptide``: the peptide probe's bucket index IS ``hash32(hi, lo)``
+    (low bits), so the owner mixes the swapped lanes instead — large
+    shards (bucket bits beyond 16) stay uniformly filled."""
+    host = isinstance(hi, np.ndarray)
+    if kind == "peptide":
+        h = hash32(lo, hi) if host else lookup.hash32_device(lo, hi)
+    else:
+        h = hash32(hi, lo) if host else lookup.hash32_device(hi, lo)
+    top = (h >> 16).astype(np.uint32 if host else jnp.uint32)
     return ((top * np.uint32(n_shards)) >> np.uint32(16)).astype(
-        np.int32 if isinstance(hi, np.ndarray) else jnp.int32
+        np.int32 if host else jnp.int32
     )
 
 
@@ -69,6 +78,32 @@ def build_sharded_tables(packed: np.ndarray, values: np.ndarray, k: int,
                 layout=layout, capacity=cap)
             for i, t in enumerate(shards)
         ]
+    return shards
+
+
+def build_sharded_peptide_tables(peptides, values: np.ndarray,
+                                 n_shards: int, load_factor: float = 0.45,
+                                 store_keys: bool = False):
+    """Partition tryptic peptides by fingerprint owner and build
+    per-shard :class:`~umgap_tpu.index.table.PeptideTable`s with one
+    common capacity (rectangular stacked rows).  The TPU-scale analogue
+    of the reference's single tryptic FST
+    (/root/reference/src/commands/prot2tryp2lca.rs:100-139)."""
+    from ..index.table import PeptideTable, _fingerprints, _pow2_capacity
+
+    peptides = list(peptides)
+    values = np.asarray(values, dtype=np.int32)
+    hi, lo = _fingerprints(peptides)
+    owner = owner_of(hi, lo, n_shards, kind="peptide")
+    max_n = max((int((owner == s).sum()) for s in range(n_shards)),
+                default=1)
+    cap = _pow2_capacity(max_n, load_factor, 64)
+    shards = []
+    for s in range(n_shards):
+        sel = owner == s
+        shards.append(PeptideTable.build(
+            [p for p, o in zip(peptides, owner) if o == s], values[sel],
+            capacity=cap, store_keys=store_keys))
     return shards
 
 
@@ -147,7 +182,7 @@ def sharded_probe_local(local_hi, local_lo, local_valid,
     valid = local_valid.reshape(-1)
     B = hi.shape[0]
 
-    owner = owner_of(hi, lo, n)
+    owner = owner_of(hi, lo, n, kind=kind)
     owner = jnp.where(valid, owner, 0)
 
     # stable sort by owner; rank within owner group
@@ -189,27 +224,84 @@ def sharded_probe_local(local_hi, local_lo, local_valid,
     return out_v.reshape(shape), out_f.reshape(shape)
 
 
-def make_sharded_pipeline(dtax, stable: ShardedTable, config, mesh: Mesh,
-                          axis="x", n_ranks: int | None = None):
-    """The fused pipeline under shard_map: reads data-parallel over the
-    mesh, table sharded over the same axis, probes routed all-to-all,
-    plus a psum-merged frequency vector over the FULL rank-snapped taxon
-    space (the taxa2freq analogue; see parallel/freq.py for the
-    standalone byte-identical command path)."""
-    if n_ranks is None:
-        n_ranks = int(dtax.snap_ranked.shape[0])
+def _agg_tail(dtax, hits, config, euler, n_ranks: int, axis,
+              with_overflow: bool):
+    """Shared taxa2agg tail of the sharded pipelines: dedup + filter +
+    aggregate + snap + psum'd rank-frequency merge (the taxa2freq
+    analogue; see parallel/freq.py for the standalone byte-identical
+    command path)."""
+    from ..agg import device as devagg
+
+    utaxa, ucounts, uvalid, nuniq = devagg.dedup_counts(
+        hits, jnp.ones_like(hits, jnp.float32), config.k_max,
+        return_nuniq=True)
+    uvalid = devagg.filter_lower_bound(ucounts, uvalid, config.lower_bound)
+    agg = devagg.aggregate_batch(
+        dtax, utaxa, ucounts, uvalid, config.method, config.strategy,
+        config.factor, euler=euler)
+    snapped = devagg.snap_batch(dtax.snap_valid, agg, default=0)
+    nonempty = uvalid.any(axis=-1)
+    out = jnp.where(nonempty, snapped, 1).astype(jnp.int32)
+
+    # taxa2freq analogue: per-rank counts, psum-merged across chips
+    ranks_of = devagg.snap_batch(dtax.snap_ranked, out, default=0)
+    freq = jax.ops.segment_sum(
+        jnp.ones_like(ranks_of, jnp.float32),
+        jnp.clip(ranks_of, 0, n_ranks - 1),
+        num_segments=n_ranks)
+    freq = jax.lax.psum(freq, axis)
+    if with_overflow:
+        return out, freq, nuniq > config.k_max
+    return out, freq
+
+
+def _finish_sharded(local_step, stable: ShardedTable, mesh: Mesh, axis,
+                    euler, with_overflow: bool):
+    """Wrap a local step in shard_map + jit with the standard specs.
+    The euler pytree (or a placeholder) rides replicated (P())."""
     from jax import shard_map
 
-    from ..agg import device as devagg
+    fn = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis, None, None),
+                  P(axis, None, None), P()),
+        out_specs=(P(axis), P(), P(axis)) if with_overflow
+        else (P(axis), P()),
+        check_vma=False,
+    )  # ``axis`` may be a tuple (host, chip): reads and table shards
+    # then split over the flattened product axis, host-major
+
+    @jax.jit
+    def step(dna, lengths, rows, stash, eu):
+        return fn(dna, lengths, rows, stash, eu)
+
+    placeholder = euler if euler is not None else jnp.zeros((0,), jnp.int32)
+    return lambda dna, lengths: step(dna, lengths, stable.rows,
+                                     stable.stash, placeholder)
+
+
+def make_sharded_pipeline(dtax, stable: ShardedTable, config, mesh: Mesh,
+                          axis="x", n_ranks: int | None = None,
+                          euler=None, with_overflow: bool = False):
+    """The fused 9-mer pipeline under shard_map: reads data-parallel
+    over the mesh, table sharded over the same axis, probes routed
+    all-to-all.  ``euler`` (a DeviceEuler, replicated over the mesh)
+    enables rmq/lca* aggregation; ``with_overflow`` adds a per-read
+    k_max-overflow flag (see :class:`ShardedAnalyser` for the exact
+    wide-program reroute)."""
+    if n_ranks is None:
+        n_ranks = int(dtax.snap_ranked.shape[0])
+    from ..agg.device_rmq import DeviceEuler
     from ..ops import encoding, seedextend, translate
-    from ..pipeline.fused import PipelineConfig
 
     table = encoding.get_table(config.table_number)
 
-    def local_step(dna, lengths, shard_rows, shard_stash):
+    def local_step(dna, lengths, shard_rows, shard_stash, eu):
         # shard axis arrives with a leading length-1 mesh dim
         shard_rows = shard_rows[0]
         shard_stash = shard_stash[0]
+        eu = eu if isinstance(eu, DeviceEuler) else None
         B, E, L = dna.shape
         aa, plens = translate.translate6_batch(
             dna.reshape(B * E, L), lengths.reshape(B * E), table)
@@ -225,37 +317,151 @@ def make_sharded_pipeline(dtax, stable: ShardedTable, config, mesh: Mesh,
         keep = seedextend.seedextend_mask_batch(
             taxa, nk, config.min_seed_size, config.max_gap_size)
         hits = jnp.where(keep, taxa, 0).reshape(B, E * 6 * W)
-        utaxa, ucounts, uvalid = devagg.dedup_counts(
-            hits, jnp.ones_like(hits, jnp.float32), config.k_max)
-        uvalid = devagg.filter_lower_bound(ucounts, uvalid, config.lower_bound)
-        agg = devagg.aggregate_batch(
-            dtax, utaxa, ucounts, uvalid, config.method, config.strategy,
-            config.factor)
-        snapped = devagg.snap_batch(dtax.snap_valid, agg, default=0)
-        nonempty = uvalid.any(axis=-1)
-        out = jnp.where(nonempty, snapped, 1).astype(jnp.int32)
+        return _agg_tail(dtax, hits, config, eu, n_ranks, axis,
+                         with_overflow)
 
-        # taxa2freq analogue: per-rank counts, psum-merged across chips
-        ranks_of = devagg.snap_batch(dtax.snap_ranked, out, default=0)
-        freq = jax.ops.segment_sum(
-            jnp.ones_like(ranks_of, jnp.float32),
-            jnp.clip(ranks_of, 0, n_ranks - 1),
-            num_segments=n_ranks)
-        freq = jax.lax.psum(freq, axis)
-        return out, freq
+    return _finish_sharded(local_step, stable, mesh, axis, euler,
+                           with_overflow)
 
-    fn = shard_map(
-        local_step,
-        mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis, None, None),
-                  P(axis, None, None)),
-        out_specs=(P(axis), P()),
-        check_vma=False,
-    )  # ``axis`` may be a tuple (host, chip): reads and table shards
-    # then split over the flattened product axis, host-major
 
-    @jax.jit
-    def step(dna, lengths, rows, stash):
-        return fn(dna, lengths, rows, stash)
+def make_sharded_tryptic_pipeline(dtax, stable: ShardedTable, config,
+                                  mesh: Mesh, axis="x",
+                                  n_ranks: int | None = None,
+                                  euler=None, with_overflow: bool = False,
+                                  min_len: int | None = None,
+                                  max_len: int | None = None):
+    """The fused tryptic pipeline under shard_map: 6-frame translate +
+    device digest locally, peptide fingerprints routed all-to-all to
+    their owner shard (matching prot2tryp2lca semantics,
+    /root/reference/src/commands/prot2tryp2lca.rs:100-139), misses
+    dropped, taxa2agg tail merged like the 9-mer path."""
+    if n_ranks is None:
+        n_ranks = int(dtax.snap_ranked.shape[0])
+    from ..agg.device_rmq import DeviceEuler
+    from ..ops import encoding, translate
+    from ..pipeline.tryptic import (
+        MAX_PEP,
+        MIN_PEP,
+        tryptic_digest_device,
+    )
 
-    return lambda dna, lengths: step(dna, lengths, stable.rows, stable.stash)
+    mn = MIN_PEP if min_len is None else min_len
+    mx = MAX_PEP if max_len is None else max_len
+    table = encoding.get_table(config.table_number)
+
+    def local_step(dna, lengths, shard_rows, shard_stash, eu):
+        shard_rows = shard_rows[0]
+        shard_stash = shard_stash[0]
+        eu = eu if isinstance(eu, DeviceEuler) else None
+        B, E, L = dna.shape
+        aa, plens = translate.translate6_batch(
+            dna.reshape(B * E, L), lengths.reshape(B * E), table)
+        Rr, NF, Pp = aa.shape
+        h1, h2, pvalid = tryptic_digest_device(
+            aa.reshape(Rr * NF, Pp), plens.reshape(Rr * NF), mn, mx)
+        F = h1.shape[-1]
+        taxa, found = sharded_probe_local(
+            h1, h2, pvalid, shard_rows,
+            stable.max_probes, axis, default=0,
+            kind=stable.kind, nb_bits=stable.nb_bits, bucket=stable.bucket,
+            shard_stash=shard_stash)
+        hits = jnp.where(found & pvalid, taxa, 0).reshape(B, E * NF * F)
+        return _agg_tail(dtax, hits, config, eu, n_ranks, axis,
+                         with_overflow)
+
+    return _finish_sharded(local_step, stable, mesh, axis, euler,
+                           with_overflow)
+
+
+class ShardedAnalyser:
+    """Multi-chip analyse with exact k_max-overflow handling.
+
+    Runs the fast sharded program (bounded per-read taxa capacity),
+    detects overflowed reads on device, and re-runs just those reads
+    through a WIDE sharded program (every hit slot its own taxon —
+    exact), patching both the taxa and the psum'd frequency vector.
+    Mirrors the single-chip runner's fallback
+    (pipeline.runner.Analyser._resolve_overflow)."""
+
+    def __init__(self, dtax, stable: ShardedTable, config, mesh: Mesh,
+                 axis="x", tryptic: bool = False, euler=None,
+                 read_length: int = 160, ends: int = 2):
+        self.dtax = dtax
+        self.config = config
+        self.tryptic = tryptic
+        self.n_ranks = int(dtax.snap_ranked.shape[0])
+        maker = (make_sharded_tryptic_pipeline if tryptic
+                 else make_sharded_pipeline)
+        if euler is None and (config.method, config.strategy) == (
+                "rmq", "lca*"):
+            raise ValueError("rmq/lca* needs a DeviceEuler (pass euler=...)")
+        self._maker = lambda cfg, ov: maker(
+            dtax, stable, cfg, mesh, axis=axis, euler=euler,
+            with_overflow=ov)
+        self.step = self._maker(config, True)
+        self._wide_step = None
+        self.read_length = read_length
+        self.ends = ends
+        self.n_shards = stable.n_shards
+        self.overflow_reads = 0
+
+    def _exact_kmax(self) -> int:
+        from ..pipeline.tryptic import MIN_PEP
+
+        P_ = self.read_length // 3
+        if self.tryptic:
+            return self.ends * 6 * (P_ // MIN_PEP + 1)
+        return self.ends * 6 * max((self.read_length + 2) // 3, 1)
+
+    # wide batches are tiny; per-shard rows must divide evenly
+    def _wide(self):
+        if self._wide_step is None:
+            cfg = self.config._replace(k_max=self._exact_kmax())
+            self._wide_step = self._maker(cfg, False)
+        return self._wide_step
+
+    def run(self, dna: np.ndarray, lens: np.ndarray):
+        """dna: (B, E, L) uint8 codes, B divisible by the mesh size.
+        Returns (taxa (B,), freq (n_ranks,)) — exact (overflow
+        re-routed), freq corrected for the re-routed reads."""
+        taxa, freq, over = self.step(jnp.asarray(dna), jnp.asarray(lens))
+        taxa = np.array(taxa)
+        freq = np.array(freq)
+        over = np.asarray(over)
+        idx = np.nonzero(over)[0]
+        if len(idx):
+            self.overflow_reads += len(idx)
+            wide = self._wide()
+            W = 8 * self.n_shards
+            old = taxa[idx].copy()
+            for s in range(0, len(idx), W):
+                sel = idx[s : s + W]
+                nd = dna[sel]
+                nl = lens[sel]
+                if len(sel) < W:
+                    nd = np.pad(nd, ((0, W - len(sel)), (0, 0), (0, 0)),
+                                constant_values=4)
+                    nl = np.pad(nl, ((0, W - len(sel)), (0, 0)))
+                out, _f = wide(jnp.asarray(nd), jnp.asarray(nl))
+                taxa[idx[s : s + W]] = np.array(out)[: len(sel)]
+            freq = self._fix_freq(freq, old, taxa[idx])
+        return taxa, freq
+
+    def _fix_freq(self, freq, old_taxa, new_taxa):
+        """Replace the overflowed reads' contributions in the rank
+        frequency vector (device semantics: snap_batch(snap_ranked,
+        taxon, default=0) then clip-bincount)."""
+        from ..taxonomy import NONE
+
+        sr = np.asarray(self.dtax.snap_ranked)
+        size = len(sr)
+
+        def hist(t):
+            t = np.asarray(t)
+            s = sr[np.clip(t, 0, size - 1)]
+            ok = (t >= 0) & (t < size) & (s != NONE)
+            r = np.where(ok, s, 0)
+            return np.bincount(np.clip(r, 0, self.n_ranks - 1),
+                               minlength=self.n_ranks).astype(freq.dtype)
+
+        return freq - hist(old_taxa) + hist(new_taxa)
