@@ -1,0 +1,145 @@
+"""FGSpp gene-prediction front end: wrapper plumbing driven by a mock
+binary (the real FGSpp is an optional external dependency in the
+reference too and is absent here; tests requiring it skip)."""
+
+import io
+import os
+import stat
+
+import numpy as np
+import pytest
+
+from umgap_tpu import fgspp, ranks
+from umgap_tpu.cli import main as cli_main
+from umgap_tpu.index.table import KmerTable, PeptideTable
+from umgap_tpu.ops import encoding, kmers as kmerops
+
+TESTDATA = "/root/reference/testdata"
+# digest: "MK" (dropped, <9) + "AAAAAAAAAK" (kept); 4 distinct 9-mers
+PROT = "MKAAAAAAAAAK"
+
+
+@pytest.fixture
+def confdir(tmp_path):
+    """Config dir with a mock FGSpp that predicts PROT for every read."""
+    d = tmp_path / "conf"
+    (d / "FGSpp").mkdir(parents=True)
+    (d / "FGSpp" / "train").mkdir()
+    binary = d / "FGSpp" / "FGSpp"
+    binary.write_text(
+        "#!/bin/sh\n"
+        f"awk '/^>/{{print $0 \"_1_99_+\"; print \"{PROT}\"}}'\n")
+    binary.chmod(binary.stat().st_mode | stat.S_IEXEC)
+    return str(d)
+
+
+@pytest.fixture
+def world(tmp_path):
+    taxfile = tmp_path / "taxons.tsv"
+    taxfile.write_text(
+        "1\troot\tno rank\t1\t\x01\n2\tBacteria\tsuperkingdom\t1\t\x01\n")
+    packed = np.unique(
+        kmerops.pack_kmers_host(encoding.encode_aa(PROT), 9))
+    KmerTable.build(packed, np.full(len(packed), 2, np.int32),
+                    k=9).save(tmp_path / "nine.npz")
+    PeptideTable.build(["AAAAAAAAAK"], np.array([2], np.int32)).save(
+        tmp_path / "tryp.npz")
+    return str(taxfile), str(tmp_path / "nine.npz"), str(tmp_path / "tryp.npz")
+
+
+def test_find_fgspp(confdir, tmp_path):
+    assert fgspp.find_fgspp(confdir) is not None
+    assert fgspp.find_fgspp(str(tmp_path)) is None
+
+
+def test_predict_and_group(confdir):
+    fg = fgspp.find_fgspp(confdir)
+    records = [("r1/1", "ACGT" * 10), ("r1/2", "TTTT" * 10),
+               ("r2/1", "GGGG" * 10)]
+    genes = list(fgspp.predict_genes(fg[0], fg[1], records))
+    assert genes == [("r1/1_1_99_+", PROT), ("r1/2_1_99_+", PROT),
+                     ("r2/1_1_99_+", PROT)]
+    groups = list(fgspp.group_genes(genes))
+    assert groups == [("r1", [PROT, PROT]), ("r2", [PROT])]
+
+
+def _run(argv):
+    out = io.StringIO()
+    rc = cli_main(["analyse"] + argv, stdin=io.StringIO(""), stdout=out)
+    return rc, out.getvalue()
+
+
+def test_analyse_fgspp_kmer_precision(confdir, world):
+    """high-precision with the mock front end: every read's two ends
+    each predict PROT; all 9-mers hit taxon 2 -> consensus 2."""
+    taxfile, nine, _ = world
+    rc, text = _run([
+        "-t", "high-precision",
+        "-1", os.path.join(TESTDATA, "A1.fq"),
+        "-2", os.path.join(TESTDATA, "A2.fq"),
+        "--taxons", taxfile, "--index", nine,
+        "--configdir", confdir, "--read-length", "100"])
+    assert rc == 0
+    blocks = [b.splitlines() for b in text.split(">")[1:]]
+    assert len(blocks) == 100
+    assert all(b[1] == "2" for b in blocks)
+
+
+def test_analyse_fgspp_tryptic(confdir, world):
+    taxfile, _, tryp = world
+    rc, text = _run([
+        "-t", "tryptic-precision",
+        "-1", os.path.join(TESTDATA, "A1.fq"),
+        "-2", os.path.join(TESTDATA, "A2.fq"),
+        "--taxons", taxfile, "--index", tryp,
+        "--configdir", confdir, "--read-length", "100"])
+    assert rc == 0
+    blocks = [b.splitlines() for b in text.split(">")[1:]]
+    assert len(blocks) == 100
+    # tryptic-precision lower bound is 5; each read group digests two
+    # copies of AAAAAAAAAK (count 2 < 5) -> filtered -> root default 1
+    assert all(b[1] == "1" for b in blocks)
+
+
+def test_analyse_fgspp_sensitivity_lower_bound(confdir, world):
+    """tryptic-sensitivity (bound 1): the two digested copies survive
+    and aggregate to the planted taxon."""
+    taxfile, _, tryp = world
+    rc, text = _run([
+        "-t", "tryptic-sensitivity",
+        "-1", os.path.join(TESTDATA, "A1.fq"),
+        "-2", os.path.join(TESTDATA, "A2.fq"),
+        "--taxons", taxfile, "--index", tryp,
+        "--configdir", confdir, "--read-length", "100"])
+    assert rc == 0
+    blocks = [b.splitlines() for b in text.split(">")[1:]]
+    assert all(b[1] == "2" for b in blocks)
+
+
+def test_analyse_fgspp_require_missing(world, tmp_path):
+    taxfile, nine, _ = world
+    rc, _ = _run([
+        "-t", "high-precision",
+        "-1", os.path.join(TESTDATA, "A1.fq"),
+        "-2", os.path.join(TESTDATA, "A2.fq"),
+        "--taxons", taxfile, "--index", nine,
+        "--configdir", str(tmp_path), "--fgspp", "require"])
+    assert rc == 1
+
+
+def test_analyse_fgspp_never_uses_translation(confdir, world, tmp_path):
+    """--fgspp never must ignore an installed FGSpp and produce the
+    self-contained 6-frame result (mock would say taxon 2 everywhere;
+    translation of random testdata reads misses this toy index)."""
+    taxfile, nine, _ = world
+    rc, text = _run([
+        "-t", "max-precision",
+        "-1", os.path.join(TESTDATA, "A1.fq"),
+        "-2", os.path.join(TESTDATA, "A2.fq"),
+        "--taxons", taxfile, "--index", nine,
+        "--configdir", confdir, "--fgspp", "never",
+        "--read-length", "100"])
+    assert rc == 0
+    blocks = [b.splitlines() for b in text.split(">")[1:]]
+    assert len(blocks) == 100
+    assert any(b[1] == "1" for b in blocks)  # not the mock's uniform 2

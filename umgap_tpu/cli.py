@@ -773,6 +773,12 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--read-length", type=int, default=160)
     sp.add_argument("--trace-dir", default=None,
                     help="write a JAX profiler (xprof) trace here")
+    sp.add_argument("--fgspp", choices=["auto", "never", "require"],
+                    default="auto",
+                    help="FragGeneScan++ gene-prediction front end for "
+                         "the precision presets (umgap-analyse.sh:248-"
+                         "251): 'auto' uses <configdir>/FGSpp when "
+                         "installed, else 6-frame translation")
     sp.set_defaults(func=cmd_analyse)
 
     return p
@@ -1139,8 +1145,79 @@ def cmd_analyse(args, stdin, stdout):
         analyser = get_analyser(preset, tryptic, B, L, ends, stax, stable_)
         yield from analyser.analyse_groups(groups)
 
+    def raw_read_records(sample):
+        """(full header, dna) records for the FGSpp front end — headers
+        keep their /1 /2 end markers so uniq -d / merges gene records
+        of both ends downstream."""
+        from .configdir import sniff_open
+        from .io import fastq as fastq_io
+
+        if sample["second"]:
+            handles = [sniff_open(p) for p in (sample["first"],
+                                               sample["second"])]
+            try:
+                for group in fastq_io.interleave(
+                        [fastq_io.read_records(h) for h in handles]):
+                    for rec in group:
+                        yield rec.header, rec.sequence
+            finally:
+                for h in handles:
+                    h.close()
+        else:
+            with sniff_open(sample["first"]) as f:
+                for rec in fasta.read_records(f, unwrap=True):
+                    yield rec.header, (rec.sequence[0]
+                                       if rec.sequence else "")
+
+    def run_sample_fgspp(sample, preset, tryptic, stax, stable_, fg):
+        """Gene-prediction front end: reads -> FGSpp subprocess ->
+        protein records -> prot2kmer2lca / prot2tryp2lca pipelines
+        (umgap-analyse.sh:299-311). Reads FGSpp emits no genes for
+        produce no output records, as in the reference."""
+        from . import fgspp as fgspp_mod
+        from .pipeline.proteins import (
+            analyse_protein_groups,
+            analyse_tryptic_protein_groups,
+        )
+
+        genes = fgspp_mod.predict_genes(fg[0], fg[1],
+                                        raw_read_records(sample))
+        pgroups = fgspp_mod.group_genes(genes)
+        if "dtax" not in dev:
+            dev["dtax"] = devagg.DeviceTaxonomy.from_host(stax)
+        dk = ("dtable", tryptic)
+        if dk not in dev:
+            dev[dk] = lookup.DeviceTable.from_host(stable_)
+        config = (TRYPTIC_PRESETS if tryptic else PRESETS)[preset]
+        if tryptic:
+            yield from analyse_tryptic_protein_groups(
+                pgroups, stax, stable_, config,
+                batch_size=min(args.batch_size, 1024),
+                dtax=dev["dtax"], dtable=dev[dk])
+        else:
+            yield from analyse_protein_groups(
+                pgroups, stax, stable_, config,
+                batch_size=min(args.batch_size, 1024),
+                dtax=dev["dtax"], dtable=dev[dk])
+
     def run_sample(sample, preset, tryptic, stax, stable_):
+        from . import fgspp as fgspp_mod
         from .io import native
+
+        if preset in fgspp_mod.FGSPP_PRESETS and args.fgspp != "never":
+            from . import configdir as cfg
+
+            conf = args.configdir or cfg.default_config_dir()
+            fg = fgspp_mod.find_fgspp(conf)
+            if fg is None and args.fgspp == "require":
+                raise CliError(
+                    "FGSpp requested but not installed under the config "
+                    "dir (expected FGSpp/FGSpp + FGSpp/train).")
+            if fg is not None:
+                verbose(f"gene prediction via FGSpp at {fg[0]}")
+                yield from run_sample_fgspp(sample, preset, tryptic,
+                                            stax, stable_, fg)
+                return
 
         native_ok = False
         try:

@@ -256,10 +256,12 @@ class Analyser(BatchStream):
                 nd = np.pad(nd, ((0, W - len(sel)), (0, 0), (0, 0)),
                             constant_values=encoding.DNA_N)
                 nl = np.pad(nl, ((0, W - len(sel)), (0, 0)))
-            out = np.asarray(wide(encoding.pack_dna4(nd), nl,
-                                  self.read_length))
+            out = np.asarray(self._wide_call(wide, nd, nl))
             taxa[sel] = out[: len(sel)]
         return taxa
+
+    def _wide_call(self, wide, nd, nl):
+        return wide(encoding.pack_dna4(nd), nl, self.read_length)
 
     # -- BatchStream hooks ----------------------------------------------- #
 
