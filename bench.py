@@ -61,6 +61,40 @@ def load(name, dtype):
     return np.fromfile(os.path.join(DATA, name), dtype=dtype)
 
 
+def ensure_cli_artifacts(reads, parent, snap, n_tax, table, L):
+    """Materialize the workload as the CLI's inputs: paired FASTQ,
+    taxon TSV, saved index artifact (once; reused across runs)."""
+    from umgap_tpu import ranks
+
+    nine = os.path.join(DATA, "nine.npz")
+    if not os.path.exists(nine):
+        table.save(nine)
+    taxtsv = os.path.join(DATA, "taxons.tsv")
+    if not os.path.exists(taxtsv):
+        with open(taxtsv + ".tmp", "w") as f:
+            f.write("1\troot\tno rank\t1\t\x01\n")
+            for i in range(2, n_tax + 1):
+                rank = "no rank" if i % 3 else ranks.rank_name(14)
+                valid = "\x01" if snap[i] == i else "\x00"
+                f.write(f"{i}\tt{i}\t{rank}\t{int(parent[i])}\t{valid}\n")
+        os.replace(taxtsv + ".tmp", taxtsv)
+    lut = np.frombuffer(b"ACGTN", np.uint8)
+    for end in (0, 1):
+        path = os.path.join(DATA, f"A{end + 1}.fq")
+        if os.path.exists(path):
+            continue
+        seqs = lut[np.minimum(reads[:, end], 4)]  # (P, L) ascii
+        qual = b"I" * L
+        with open(path + ".tmp", "wb") as f:
+            for i in range(len(seqs)):
+                f.write(b"@r%d/%d\n" % (i, end + 1))
+                f.write(seqs[i].tobytes())
+                f.write(b"\n+\n")
+                f.write(qual)
+                f.write(b"\n")
+        os.replace(path + ".tmp", path)
+
+
 def baselines() -> dict:
     """Measured CPU denominators (native/baseline_measured.json).
 
@@ -220,6 +254,45 @@ def main():
     except Exception as e:  # noqa: BLE001
         eprint(f"wire e2e failed ({e!r}); reporting device-resident only")
 
+    # --- user-facing CLI throughput ------------------------------------ #
+    # The same workload through `python -m umgap_tpu analyse` (native
+    # parse -> streamed 16k batches -> depth-2 dispatch).  Three
+    # identical samples in one invocation: sample 1 pays the trace/
+    # compile, samples 2+ run the cached program — the steady-state
+    # rate a long-running analyse job sees.  Skipped when the wire
+    # path failed (compile-service degradation).
+    cli_pairs_per_s = None
+    if e2e_pairs_per_s is not None and not os.environ.get("SKIP_CLI_BENCH"):
+        try:
+            ensure_cli_artifacts(reads, parent, snap, n_tax, table, L)
+            eprint("running CLI bench (3 samples, 1 compile)...")
+            argv = [sys.executable, "-m", "umgap_tpu", "analyse"]
+            for _ in range(3):
+                argv += ["-t", "high-sensitivity",
+                         "-1", os.path.join(DATA, "A1.fq"),
+                         "-2", os.path.join(DATA, "A2.fq"),
+                         "-o", os.devnull]
+            argv += ["--taxons", os.path.join(DATA, "taxons.tsv"),
+                     "--index", os.path.join(DATA, "nine.npz"),
+                     "--read-length", str(L)]
+            r = subprocess.run(
+                argv, env=dict(os.environ, VERBOSE="1"),
+                capture_output=True, text=True, timeout=3600)
+            rates = []
+            for line in r.stderr.splitlines():
+                if "analyse sample" in line and "records/s" in line:
+                    rates.append(float(
+                        line.rsplit("(", 1)[1].split(" ")[0]))
+            if r.returncode == 0 and len(rates) >= 2:
+                cli_pairs_per_s = rates[-1]  # steady state (cached)
+                eprint(f"CLI per-sample rates: {rates}")
+            else:
+                eprint(f"CLI bench unusable (rc={r.returncode}, "
+                       f"rates={rates}); stderr tail: "
+                       f"{r.stderr[-300:]}")
+        except Exception as e:  # noqa: BLE001
+            eprint(f"CLI bench failed ({e!r})")
+
     base = baselines()
     fst = float(base["fst"]["pairs_per_s"])
     hsh = float(base["hash"]["pairs_per_s"])
@@ -248,6 +321,27 @@ def main():
             "table_build_s": round(build_s, 1),
             "n_keys": manifest["n_keys"],
             "device": str(jax.devices()[0]),
+            # user-facing `analyse` CLI steady-state rate (sample 2+ of
+            # a multi-sample run: compiled programs cached, native
+            # parse + stream + depth-2 dispatch + output write)
+            "cli_pairs_per_s": (round(cli_pairs_per_s, 1)
+                                if cli_pairs_per_s else None),
+            "cli_vs_fused": (round(cli_pairs_per_s / e2e_pairs_per_s, 3)
+                             if cli_pairs_per_s else None),
+            # per-host projection inputs (BASELINE.md "Per-host math")
+            "host_math": {
+                "cpu_per_core_pairs_per_s_fst": round(fst / 2, 1),
+                "cpu_per_core_pairs_per_s_hash": round(hsh / 2, 1),
+                "cpu_host_200core_ideal_fst": round(100 * fst, 0),
+                "cpu_host_bandwidth_bound_at_100GB_index": "125k-250k",
+                "tpu_v5e_chip_measured": round(e2e_pairs_per_s, 1),
+                "tpu_v5p_chip_projected_hbm_scaled":
+                    f"{round(e2e_pairs_per_s * 2.8 / 1000)}k-"
+                    f"{round(e2e_pairs_per_s * 3.4 / 1000)}k",
+                "tpu_v5p_host_4chip_projected":
+                    f"{round(4 * e2e_pairs_per_s * 2.8 / 1e6, 2)}M-"
+                    f"{round(4 * e2e_pairs_per_s * 3.4 / 1e6, 2)}M",
+            },
         },
     }
     print(json.dumps(result))

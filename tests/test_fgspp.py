@@ -143,3 +143,51 @@ def test_analyse_fgspp_never_uses_translation(confdir, world, tmp_path):
     blocks = [b.splitlines() for b in text.split(">")[1:]]
     assert len(blocks) == 100
     assert any(b[1] == "1" for b in blocks)  # not the mock's uniform 2
+
+
+def test_protein_analyser_overflow_reroute():
+    """ProteinAnalyser k_max overflow: a gene group hitting more
+    distinct taxa than k_max must re-route through the exact wide
+    program and match a wide-configured run."""
+    from umgap_tpu.agg import device as devagg
+    from umgap_tpu.ops import lookup
+    from umgap_tpu.pipeline import PRESETS
+    from umgap_tpu.pipeline.proteins import (
+        ProteinAnalyser,
+        encode_protein_groups,
+    )
+    from umgap_tpu.taxonomy import Taxonomy, fixture_taxa
+
+    rng = np.random.default_rng(31)
+    # 30 proteins of 12 AAs; each 9-mer its own taxon from the fixture
+    prots = ["".join(rng.choice(list("ACDEFGHILMNQSTVWY"), 12))
+             for _ in range(30)]
+    packed = []
+    for p in prots:
+        packed.append(kmerops.pack_kmers_host(encoding.encode_aa(p), 9))
+    packed = np.unique(np.concatenate(packed))
+    ids = np.array([2, 10239, 12884, 185751, 185752], np.int32)
+    values = rng.choice(ids, size=len(packed)).astype(np.int32)
+    table = KmerTable.build(packed, values, k=9)
+    tax = Taxonomy(fixture_taxa())
+    dtax = devagg.DeviceTaxonomy.from_host(tax)
+    dtable = lookup.DeviceTable.from_host(table)
+
+    groups = [(f"g{i}", [prots[2 * i], prots[2 * i + 1]])
+              for i in range(15)]
+    aa, lens = encode_protein_groups(groups, 2, 16)
+    config = PRESETS["max-sensitivity"]._replace(k_max=2, min_seed_size=1)
+
+    an = ProteinAnalyser(tax, None, config, batch_size=16,
+                         read_length=16, ends=2, dtax=dtax, dtable=dtable)
+    got = dict(list(an.feed([h for h, _ in groups], aa, lens))
+               + list(an.finish()))
+    assert an.overflow_reads > 0, "workload must overflow k_max=2"
+
+    wide_cfg = config._replace(k_max=2 * 8)  # exact: 8 windows per lane
+    an2 = ProteinAnalyser(tax, None, wide_cfg, batch_size=16,
+                          read_length=16, ends=2, dtax=dtax,
+                          dtable=dtable)
+    expect = dict(list(an2.feed([h for h, _ in groups], aa, lens))
+                  + list(an2.finish()))
+    assert got == expect

@@ -539,6 +539,36 @@ def cmd_buildindex(args, stdin, stdout):
     out.write(data)
 
 
+def cmd_buildindex_dist(args, stdin, stdout):
+    """Distributed multi-process index build with checkpoint/resume —
+    the runnable counterpart of the reference's cluster job
+    (/root/reference/scripts/build-index-phanpy.hpc.sh:1-10). Re-running
+    the same command resumes after any killed worker or driver."""
+    import json
+
+    from .index import distbuild
+
+    if args.task:
+        distbuild.worker_main(args.workdir, args.task, args.index,
+                              join_threads=args.join_threads)
+        return
+    if args.synthetic is None and (args.tsv is None or args.taxons is None):
+        raise CliError("need --tsv and --taxons (or --synthetic N)")
+    manifest = distbuild.drive(
+        args.workdir, args.tsv, args.taxons, n_shards=args.shards,
+        workers=args.workers, k=args.k,
+        synthetic_rows=(int(float(args.synthetic))
+                        if args.synthetic is not None else None),
+        seed=args.seed, layout=args.layout)
+    stdout.write(json.dumps({
+        "n_keys": manifest["n_keys"],
+        "n_shards": manifest["n_shards"],
+        "capacity": manifest["capacity"],
+        "timings_s": manifest["timings"],
+        "shards_dir": os.path.join(args.workdir, "shards"),
+    }) + "\n")
+
+
 def cmd_printindex(args, stdin, stdout):
     from .index.table import CuckooKmerTable, KmerTable
 
@@ -694,6 +724,38 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("buildindex", help="Build a packed index from sorted TSV")
     sp.add_argument("--kind", default="auto", choices=["auto", "kmer", "peptide"])
     sp.set_defaults(func=cmd_buildindex)
+
+    sp = sub.add_parser(
+        "buildindex-dist",
+        help="Distributed multi-process index build with checkpoint/"
+             "resume (build-index-phanpy.hpc.sh equivalent)")
+    sp.add_argument("--workdir", required=True,
+                    help="shared work directory (checkpoints + artifacts)")
+    sp.add_argument("--tsv", default=None,
+                    help="(taxid TAB protein) input TSV")
+    sp.add_argument("--taxons", default=None)
+    sp.add_argument("--shards", type=int, default=16,
+                    help="hash-range shards (= serving-mesh shard count)")
+    sp.add_argument("--workers", type=int, default=2,
+                    help="parallel worker processes")
+    sp.add_argument("-k", type=int, default=9)
+    sp.add_argument("--synthetic", default=None,
+                    help="generate N synthetic input rows instead of "
+                         "--tsv (benchmark / scale-test mode)")
+    sp.add_argument("--layout", default="bucket16",
+                    choices=["bucket16", "bucket8s"],
+                    help="shard table geometry: bucket16 = dense "
+                         "(~13-21 B/key HBM, <=2 row gathers), bucket8s "
+                         "= fastest probe (1 gather) at 4-8x the memory")
+    sp.add_argument("--seed", type=int, default=7)
+    # internal: worker re-invocation
+    sp.add_argument("--task", default=None,
+                    choices=["partition", "join", "build"],
+                    help=argparse.SUPPRESS)
+    sp.add_argument("--index", type=int, default=0, help=argparse.SUPPRESS)
+    sp.add_argument("--join-threads", type=int, default=1,
+                    help=argparse.SUPPRESS)
+    sp.set_defaults(func=cmd_buildindex_dist)
 
     sp = sub.add_parser("printindex", help="Print the key/value pairs in an index")
     sp.add_argument("fst_file")
@@ -1248,8 +1310,12 @@ def cmd_analyse(args, stdin, stdout):
             run_sample_fallback(sample, preset, tryptic, stax, stable_),
             emitted, None)
 
+    import time as _time
+
     with device_trace(getattr(args, "trace_dir", None)):
-        for sample in samples:
+        for i, sample in enumerate(samples):
+            t_sample = _time.perf_counter()
+            n_out = 0
             preset = sample["type"]
             tryptic = preset in TRYPTIC_PRESETS
             stax, stable = load_world(tryptic)
@@ -1260,6 +1326,7 @@ def cmd_analyse(args, stdin, stdout):
                 writer = fasta.Writer(stdout, "\n", False)
                 for h, t in results:
                     writer.write_record(fasta.Record(h, [str(t)]))
+                    n_out += 1
             else:
                 if sample["compress"]:
                     import gzip as gzipmod
@@ -1271,6 +1338,10 @@ def cmd_analyse(args, stdin, stdout):
                     writer = fasta.Writer(handle, "\n", False)
                     for h, t in results:
                         writer.write_record(fasta.Record(h, [str(t)]))
+                        n_out += 1
+            dt = _time.perf_counter() - t_sample
+            verbose(f"analyse sample {i + 1}: {n_out} records in "
+                    f"{dt:.3f}s ({n_out / max(dt, 1e-9):.0f} records/s)")
 
 
 def main(argv=None, stdin=None, stdout=None) -> int:

@@ -1,0 +1,456 @@
+"""Distributed multi-process index-build job.
+
+The runnable analogue of the reference's cluster build job
+(/root/reference/scripts/build-index-phanpy.hpc.sh:1-10, a PBS job
+running ``splitkmers | sort | joinkmers | buildindex`` over the UniProt
+TSV).  Here the job is a supervisor + worker subprocesses over a shared
+work directory, every task checkpointed with atomic ``.done`` markers so
+a killed worker — or a killed driver — resumes exactly where it stopped:
+
+  1. **partition** (per input chunk, parallel): rows -> packed
+     (u64 k-mer, i32 taxid) spills, hash-range partitioned with the
+     SAME ``owner_of`` as the serving-time sharded tables
+     (parallel/sharded.py), so built shards drop straight into
+     ``ShardedTable.from_shards``.
+  2. **join** (per shard, parallel): concat spills -> sort ->
+     joinkmers aggregation (valid-ancestor snap, tree-hybrid f=0.95,
+     ranked snap; native multithreaded C++ when available).
+  3. **build** (per shard, parallel): packed KmerTable at one common
+     capacity (rectangular across shards) -> ``shards/shard_*.npz``.
+
+Workers are plain subprocesses re-invoking the CLI with ``--task``;
+the supervisor survives worker crashes (it records the failure, keeps
+other workers running, and a re-run with the same workdir finishes the
+remaining tasks).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import subprocess
+import sys
+import time
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+# At-scale shards default to the DENSE geometry: 16-slot buckets with
+# up to one linear-probe round (2 gathers worst case, rare at these
+# loads).  bucket8s' single-gather probe needs its 256-slot stash to
+# absorb all bucket overflow, which caps realized load around 0.1 at
+# 10M+ keys/shard (~86 B/key HBM) — 4-8x the memory of bucket16 at the
+# same exactness.  Serving-path tables for chip-resident indexes keep
+# bucket8s (probe speed); --layout selects per build.
+LOAD_FACTOR = 0.60
+LAYOUT = "bucket16"
+
+
+def _done(path: str) -> str:
+    return path + ".done"
+
+
+def _mark(path: str) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write("ok")
+    os.replace(tmp, _done(path))
+
+
+def _is_done(path: str) -> bool:
+    return os.path.exists(_done(path))
+
+
+def _save_atomic(path: str, **arrays) -> None:
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **arrays)
+    os.replace(tmp, path)
+
+
+# ---------------------------------------------------------------------- #
+# Input descriptions
+# ---------------------------------------------------------------------- #
+
+def tsv_chunks(path: str, chunk_bytes: int = 256 << 20) -> List[Tuple[int, int]]:
+    """Byte ranges covering the TSV; workers align to newlines (a worker
+    starts after the first newline past ``start`` unless start==0, and
+    finishes the line spanning ``end``)."""
+    size = os.path.getsize(path)
+    return [(s, min(s + chunk_bytes, size))
+            for s in range(0, size, chunk_bytes)]
+
+
+def read_tsv_chunk(path: str, start: int, end: int, k: int):
+    """Parse one newline-aligned chunk into packed rows (native)."""
+    from ..io import native
+
+    with open(path, "rb") as f:
+        if start:
+            f.seek(start - 1)
+            f.readline()  # consume the partial first line
+            start = f.tell()
+        data = f.read(end - start)
+        if not data.endswith(b"\n"):
+            data += f.readline()
+    if start >= end and not data:
+        return np.zeros(0, np.uint64), np.zeros(0, np.int32)
+    return native.split_kmers_tsv(data, k=k)
+
+
+def synthetic_chunk(seed: int, chunk: int, rows: int, n_tax: int):
+    """Deterministic synthetic rows (bench / driver-scale tests):
+    ~70% singleton groups, duplicated hot taxa — the group structure of
+    real UniProt-derived corpora (scripts/bench_index_build.py)."""
+    rng = np.random.default_rng([seed, chunk])
+    n_base = int(rows / 1.6)
+    keys = rng.integers(0, 2 ** 45, size=n_base, dtype=np.uint64)
+    extra_mask = rng.random(n_base) < 0.3
+    extra_counts = rng.integers(1, 8, size=int(extra_mask.sum()))
+    packed = np.concatenate([keys, np.repeat(keys[extra_mask], extra_counts)])
+    tids = rng.integers(1, n_tax + 1, size=len(packed)).astype(np.int32)
+    hot = rng.random(len(packed)) < 0.5
+    tids[hot] = rng.integers(1, min(2000, n_tax), size=int(hot.sum()))
+    return packed, tids
+
+
+def write_synthetic_taxonomy(path: str, n_tax: int, seed: int) -> None:
+    """Random NCBI-shaped taxonomy TSV shared by all workers."""
+    from .. import ranks
+
+    rng = np.random.default_rng([seed, 999])
+    parent = np.ones(n_tax + 1, dtype=np.int64)
+    parent[2:] = (rng.random(n_tax - 1)
+                  * (np.arange(2, n_tax + 1) - 1)).astype(np.int64) + 1
+    rk = rng.integers(0, ranks.RANK_COUNT, size=n_tax + 1)
+    vd = rng.random(n_tax + 1) > 0.1
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write("1\troot\tno rank\t1\t\x01\n")
+        for i in range(2, n_tax + 1):
+            valid = "\x01" if vd[i] else "\x00"
+            f.write(f"{i}\tt{i}\t{ranks.rank_name(int(rk[i]))}"
+                    f"\t{int(parent[i])}\t{valid}\n")
+    os.replace(tmp, path)
+
+
+# ---------------------------------------------------------------------- #
+# Worker tasks
+# ---------------------------------------------------------------------- #
+
+def task_partition(workdir: str, manifest: dict, chunk: int) -> None:
+    from ..parallel.sharded import owner_of
+    from ..ops import kmers as kmerops
+
+    part = os.path.join(workdir, "part")
+    stamp = os.path.join(part, f"c{chunk:05d}")
+    if _is_done(stamp):
+        return
+    n_shards = manifest["n_shards"]
+    if manifest["input"] == "synthetic":
+        rows = min(manifest["rows_per_chunk"],
+                   manifest["total_rows"]
+                   - chunk * manifest["rows_per_chunk"])
+        packed, tids = synthetic_chunk(
+            manifest["seed"], chunk, rows, manifest["n_tax"])
+    else:
+        start, end = manifest["chunks"][chunk]
+        packed, tids = read_tsv_chunk(manifest["tsv"], start, end,
+                                      manifest["k"])
+    hi, lo = kmerops.split_packed(packed.astype(np.uint64))
+    owner = owner_of(hi, lo, n_shards)
+    order = np.argsort(owner, kind="stable")
+    packed = packed[order]
+    tids = tids[order]
+    owner = owner[order]
+    bounds = np.searchsorted(owner, np.arange(n_shards + 1))
+    for s in range(n_shards):
+        a, b = bounds[s], bounds[s + 1]
+        if a == b:
+            continue
+        _save_atomic(os.path.join(part, f"c{chunk:05d}_s{s:03d}.npz"),
+                     keys=packed[a:b], tids=tids[a:b])
+    _mark(stamp)
+
+
+def task_join(workdir: str, manifest: dict, shard: int,
+              n_threads: int = 1) -> None:
+    from ..taxonomy import read_taxa_file, Taxonomy
+    from .scale import join_kmers_sorted
+
+    joined = os.path.join(workdir, "joined")
+    stamp = os.path.join(joined, f"s{shard:03d}")
+    if _is_done(stamp):
+        return
+    parts = sorted(glob.glob(
+        os.path.join(workdir, "part", f"c*_s{shard:03d}.npz")))
+    keys: List[np.ndarray] = []
+    tids: List[np.ndarray] = []
+    for p in parts:
+        z = np.load(p)
+        keys.append(z["keys"])
+        tids.append(z["tids"])
+    if keys:
+        packed = np.concatenate(keys)
+        tid = np.concatenate(tids).astype(np.int64)
+    else:
+        packed = np.zeros(0, np.uint64)
+        tid = np.zeros(0, np.int64)
+    order = np.argsort(packed, kind="stable")
+    packed = packed[order]
+    tid = tid[order]
+    tax = Taxonomy(read_taxa_file(manifest["taxons"]))
+    out_keys, out_vals = join_kmers_sorted(packed, tid, tax,
+                                           n_threads=n_threads)
+    _save_atomic(os.path.join(joined, f"s{shard:03d}.npz"),
+                 keys=out_keys, values=out_vals)
+    _mark(stamp)
+
+
+def common_capacity(workdir: str, manifest: dict) -> int:
+    """Post-join barrier: one capacity so shard rows stack rectangular
+    (parallel/sharded.ShardedTable.from_shards).
+
+    bucket8s resolves every probe with ONE row gather, so keys past a
+    full home bucket must fit the 256-slot stash.  The exact overflow
+    for a candidate capacity is ``sum(max(0, bucket_count - 8))`` — we
+    size it on the LARGEST shard's real bucket histogram (shards are
+    hash-balanced, so the others match statistically) and keep a margin
+    of half the stash."""
+    from .table import BUCKET, MIN_NB_BITS, _pow2_capacity, mix_key
+    from ..ops import kmers as kmerops
+
+    cap_path = os.path.join(workdir, "capacity.json")
+    if os.path.exists(cap_path):
+        with open(cap_path) as f:
+            return json.load(f)["capacity"]
+    max_n, max_s = 1, 0
+    for s in range(manifest["n_shards"]):
+        z = np.load(os.path.join(workdir, "joined", f"s{s:03d}.npz"))
+        if len(z["keys"]) > max_n:
+            max_n, max_s = len(z["keys"]), s
+    cap = _pow2_capacity(max_n, LOAD_FACTOR, BUCKET << MIN_NB_BITS)
+    z = np.load(os.path.join(workdir, "joined", f"s{max_s:03d}.npz"))
+    keys = z["keys"].astype(np.uint64)
+    if len(keys) and manifest["layout"] == "bucket8s":
+        hi, lo = kmerops.split_packed(keys)
+        _mhi, mlo = mix_key(hi, lo)
+        while True:
+            nb = max(cap // 8, 1)
+            cnt = np.bincount((mlo & np.uint32(nb - 1)).astype(np.int64),
+                              minlength=nb)
+            if int(np.maximum(cnt - 8, 0).sum()) <= 128:
+                break
+            cap *= 2
+    with open(cap_path + ".tmp", "w") as f:
+        json.dump({"capacity": cap, "max_keys": max_n}, f)
+    os.replace(cap_path + ".tmp", cap_path)
+    return cap
+
+
+def bump_capacity(workdir: str) -> int:
+    """Backstop for a shard whose stash still overflowed at the sized
+    capacity: double it and invalidate built shards."""
+    cap_path = os.path.join(workdir, "capacity.json")
+    with open(cap_path) as f:
+        meta = json.load(f)
+    meta["capacity"] *= 2
+    with open(cap_path + ".tmp", "w") as f:
+        json.dump(meta, f)
+    os.replace(cap_path + ".tmp", cap_path)
+    for p in glob.glob(os.path.join(workdir, "shards", "shard_*")):
+        os.remove(p)
+    return meta["capacity"]
+
+
+def task_build(workdir: str, manifest: dict, shard: int) -> None:
+    from .table import KmerTable
+
+    shards_dir = os.path.join(workdir, "shards")
+    stamp = os.path.join(shards_dir, f"shard_{shard:03d}")
+    if _is_done(stamp):
+        return
+    cap = common_capacity(workdir, manifest)
+    z = np.load(os.path.join(workdir, "joined", f"s{shard:03d}.npz"))
+    # explicit geometry (no layout fallback): every shard MUST share
+    # one row shape or the stacked serving table breaks
+    bucket = 8 if manifest["layout"] == "bucket8s" else 16
+    probes = 0 if manifest["layout"] == "bucket8s" else 1
+    table = KmerTable.build(z["keys"].astype(np.uint64),
+                            z["values"].astype(np.int32),
+                            k=manifest["k"], bucket=bucket,
+                            max_probe_limit=probes, stash_cap=256,
+                            capacity=cap)
+    table.save(os.path.join(shards_dir, f"shard_{shard:03d}.npz"))
+    _mark(stamp)
+
+
+# ---------------------------------------------------------------------- #
+# Supervisor
+# ---------------------------------------------------------------------- #
+
+def _spawn(workdir: str, task: str, index: int, threads: int = 1):
+    return subprocess.Popen(
+        [sys.executable, "-m", "umgap_tpu", "buildindex-dist",
+         "--workdir", workdir, "--task", task, "--index", str(index),
+         "--join-threads", str(threads)],
+        env=dict(os.environ, JAX_PLATFORMS="cpu"))
+
+
+def _run_stage(workdir: str, task: str, pending: List[int],
+               workers: int, threads: int = 1) -> List[int]:
+    """Run tasks across worker subprocesses; returns indexes that
+    FAILED (worker died or errored) — the stage keeps going for the
+    rest, and a resume re-run retries only the failures."""
+    from ..utils import log
+
+    running: dict = {}
+    failed: List[Tuple[int, int]] = []
+    queue = list(pending)
+    while queue or running:
+        while queue and len(running) < workers:
+            idx = queue.pop(0)
+            running[idx] = _spawn(workdir, task, idx, threads)
+        done_idx = None
+        for idx, proc in running.items():
+            rc = proc.poll()
+            if rc is not None:
+                done_idx = idx
+                if rc != 0:
+                    log(f"buildindex-dist: {task} task {idx} failed "
+                        f"(exit {rc}); will retry on resume")
+                    failed.append((idx, rc))
+                break
+        if done_idx is not None:
+            running.pop(done_idx)
+        else:
+            time.sleep(0.05)
+    return failed
+
+
+def drive(workdir: str, tsv: Optional[str], taxons: Optional[str],
+          n_shards: int = 16, workers: int = 2, k: int = 9,
+          synthetic_rows: Optional[int] = None, seed: int = 7,
+          n_tax: int = 200_000, chunk_bytes: int = 256 << 20,
+          rows_per_chunk: int = 20_000_000, layout: str = LAYOUT) -> dict:
+    """Run (or resume) the whole job; returns the manifest with timing
+    and completion state.  Idempotent: finished tasks are skipped via
+    their ``.done`` markers."""
+    from ..utils import log
+
+    workdir = os.path.abspath(workdir)  # workers may run elsewhere
+    os.makedirs(workdir, exist_ok=True)
+    for sub in ("part", "joined", "shards"):
+        os.makedirs(os.path.join(workdir, sub), exist_ok=True)
+
+    man_path = os.path.join(workdir, "manifest.json")
+    if os.path.exists(man_path):
+        with open(man_path) as f:
+            manifest = json.load(f)
+    else:
+        if synthetic_rows is not None:
+            n_chunks = max(1, -(-synthetic_rows // rows_per_chunk))
+            taxons_path = os.path.abspath(
+                taxons or os.path.join(workdir, "taxons.tsv"))
+            manifest = dict(input="synthetic", seed=seed, n_tax=n_tax,
+                            rows_per_chunk=rows_per_chunk,
+                            total_rows=synthetic_rows,
+                            n_chunks=n_chunks, taxons=taxons_path,
+                            n_shards=n_shards, k=k, layout=layout)
+        else:
+            chunks = tsv_chunks(tsv, chunk_bytes)
+            manifest = dict(input="tsv", tsv=os.path.abspath(tsv),
+                            chunks=chunks, n_chunks=len(chunks),
+                            taxons=os.path.abspath(taxons),
+                            n_shards=n_shards, k=k, layout=layout)
+        with open(man_path + ".tmp", "w") as f:
+            json.dump(manifest, f)
+        os.replace(man_path + ".tmp", man_path)
+
+    if manifest["input"] == "synthetic" and \
+            not os.path.exists(manifest["taxons"]):
+        log("buildindex-dist: generating synthetic taxonomy")
+        write_synthetic_taxonomy(manifest["taxons"], manifest["n_tax"],
+                                 manifest["seed"])
+
+    timings = {}
+    stages = [
+        ("partition", [c for c in range(manifest["n_chunks"])
+                       if not _is_done(os.path.join(workdir, "part",
+                                                    f"c{c:05d}"))], 1),
+        ("join", [s for s in range(manifest["n_shards"])
+                  if not _is_done(os.path.join(workdir, "joined",
+                                               f"s{s:03d}"))],
+         max(1, (os.cpu_count() or 2) // workers)),
+        ("build", [s for s in range(manifest["n_shards"])
+                   if not _is_done(os.path.join(workdir, "shards",
+                                                f"shard_{s:03d}"))], 1),
+    ]
+    for task, pending, threads in stages:
+        t0 = time.perf_counter()
+        attempts = 0
+        while pending:
+            log(f"buildindex-dist: stage {task}: {len(pending)} task(s) "
+                f"over {workers} worker(s)")
+            failed = _run_stage(workdir, task, pending, workers, threads)
+            if not failed:
+                break
+            # capacity backstop: exit code 3 = stash overflow at the
+            # sized capacity; double and rebuild the whole stage
+            if task == "build" and all(rc == 3 for _i, rc in failed) \
+                    and attempts < 3:
+                cap = bump_capacity(workdir)
+                log(f"buildindex-dist: capacity bumped to {cap}; "
+                    "rebuilding shards")
+                pending = list(range(manifest["n_shards"]))
+                attempts += 1
+                continue
+            raise RuntimeError(
+                f"stage {task}: {len(failed)} task(s) failed "
+                f"({failed[:8]}...); re-run the same command to resume")
+        timings[task] = round(time.perf_counter() - t0, 2)
+
+    manifest["timings"] = timings
+    manifest["capacity"] = common_capacity(workdir, manifest)
+    n_keys = 0
+    for s in range(manifest["n_shards"]):
+        z = np.load(os.path.join(workdir, "joined", f"s{s:03d}.npz"))
+        n_keys += len(z["keys"])
+    manifest["n_keys"] = n_keys
+    with open(man_path + ".tmp", "w") as f:
+        json.dump(manifest, f)
+    os.replace(man_path + ".tmp", man_path)
+    log(f"buildindex-dist: complete — {n_keys} keys in "
+        f"{manifest['n_shards']} shards under {workdir}/shards "
+        f"(timings {timings})")
+    return manifest
+
+
+def load_shards(workdir: str):
+    """The built artifacts, ready for ShardedTable.from_shards (serving)
+    or single-host concatenated probing."""
+    from .table import load_table
+
+    with open(os.path.join(workdir, "manifest.json")) as f:
+        manifest = json.load(f)
+    return [load_table(os.path.join(workdir, "shards",
+                                    f"shard_{s:03d}.npz"))
+            for s in range(manifest["n_shards"])]
+
+
+def worker_main(workdir: str, task: str, index: int,
+                join_threads: int = 1) -> None:
+    with open(os.path.join(workdir, "manifest.json")) as f:
+        manifest = json.load(f)
+    if task == "partition":
+        task_partition(workdir, manifest, index)
+    elif task == "join":
+        task_join(workdir, manifest, index, n_threads=join_threads)
+    elif task == "build":
+        try:
+            task_build(workdir, manifest, index)
+        except RuntimeError:
+            sys.exit(3)  # stash overflow at the common capacity:
+            #              the driver doubles it and rebuilds
+    else:
+        raise ValueError(f"unknown task {task}")

@@ -86,7 +86,7 @@ def _tree_mix_np(utaxa: np.ndarray, ucounts: np.ndarray, valid: np.ndarray,
 def join_kmers_sorted(
     packed: np.ndarray, tids: np.ndarray, tax: Taxonomy,
     group_cap: int = 64, batch: int = 262_144,
-    use_native: bool = True,
+    use_native: bool = True, n_threads: int = 0,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """joinkmers over sorted packed keys, fully vectorized.
 
@@ -122,7 +122,8 @@ def join_kmers_sorted(
             return join_kmers_native(
                 packed, snapped.astype(np.int64),
                 np.where(tax.present, tax.parent, 0).astype(np.int32),
-                ranksnap.astype(np.int32), JOINKMERS_FACTOR)
+                ranksnap.astype(np.int32), JOINKMERS_FACTOR,
+                n_threads=n_threads)
         except (RuntimeError, OSError):
             pass  # toolchain unavailable: numpy fallback below
 
