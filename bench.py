@@ -78,20 +78,25 @@ def ensure_cli_artifacts(reads, parent, snap, n_tax, table, L):
                 valid = "\x01" if snap[i] == i else "\x00"
                 f.write(f"{i}\tt{i}\t{rank}\t{int(parent[i])}\t{valid}\n")
         os.replace(taxtsv + ".tmp", taxtsv)
+    # 4x the pairs per sample so a sample spans 8 full 16k batches —
+    # the steady-state regime (2 batches cannot amortize the depth-2
+    # pipeline ramp; measured 97k at x1 vs fused 166k)
+    REP = 4
     lut = np.frombuffer(b"ACGTN", np.uint8)
     for end in (0, 1):
-        path = os.path.join(DATA, f"A{end + 1}.fq")
+        path = os.path.join(DATA, f"A{end + 1}x{REP}.fq")
         if os.path.exists(path):
             continue
         seqs = lut[np.minimum(reads[:, end], 4)]  # (P, L) ascii
         qual = b"I" * L
         with open(path + ".tmp", "wb") as f:
-            for i in range(len(seqs)):
-                f.write(b"@r%d/%d\n" % (i, end + 1))
-                f.write(seqs[i].tobytes())
-                f.write(b"\n+\n")
-                f.write(qual)
-                f.write(b"\n")
+            for rep in range(REP):
+                for i in range(len(seqs)):
+                    f.write(b"@x%dr%d/%d\n" % (rep, i, end + 1))
+                    f.write(seqs[i].tobytes())
+                    f.write(b"\n+\n")
+                    f.write(qual)
+                    f.write(b"\n")
         os.replace(path + ".tmp", path)
 
 
@@ -269,8 +274,8 @@ def main():
             argv = [sys.executable, "-m", "umgap_tpu", "analyse"]
             for _ in range(3):
                 argv += ["-t", "high-sensitivity",
-                         "-1", os.path.join(DATA, "A1.fq"),
-                         "-2", os.path.join(DATA, "A2.fq"),
+                         "-1", os.path.join(DATA, "A1x4.fq"),
+                         "-2", os.path.join(DATA, "A2x4.fq"),
                          "-o", os.devnull]
             argv += ["--taxons", os.path.join(DATA, "taxons.tsv"),
                      "--index", os.path.join(DATA, "nine.npz"),

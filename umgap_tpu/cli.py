@@ -1172,13 +1172,25 @@ def cmd_analyse(args, stdin, stdout):
                 if analyser is not None:
                     verbose(f"read-length bucket {analyser.read_length} -> "
                             f"{Lw}: draining and recompiling")
-                    yield from analyser.finish()
+                    yield from analyser.finish_batches()
                 B = _pow2_bucket(n_hint, 64, batch_cap(Lw))
                 analyser = get_analyser(preset, tryptic, B, Lw, ends,
                                         stax, stable_)
-            yield from analyser.feed(headers, dna, lens)
+            yield from analyser.feed_batches(headers, dna, lens)
         if analyser is not None:
-            yield from analyser.finish()
+            yield from analyser.finish_batches()
+
+    def _batchify(records, n: int = 8192):
+        hs: list = []
+        ts: list = []
+        for h, t in records:
+            hs.append(h)
+            ts.append(t)
+            if len(hs) == n:
+                yield hs, ts
+                hs, ts = [], []
+        if hs:
+            yield hs, ts
 
     def run_sample_fallback(sample, preset, tryptic, stax, stable_):
         """Python-reader path (native parser unavailable, exotic record
@@ -1196,16 +1208,16 @@ def cmd_analyse(args, stdin, stdout):
             if maxlen > args.read_length:
                 verbose("tryptic sample has records beyond --read-length; "
                         "using the host-digest path (full-length digest)")
-                yield from analyse_tryptic_groups(
+                yield from _batchify(analyse_tryptic_groups(
                     groups, stax, stable_, TRYPTIC_PRESETS[preset],
-                    batch_size=min(args.batch_size, 1024))
+                    batch_size=min(args.batch_size, 1024)))
                 return
         ladder = _analyse_width_ladder(args.read_length)
         maxlen = max((len(s) for _h, ss in groups for s in ss), default=0)
         L = next((w for w in ladder if w >= maxlen), ladder[-1])
         B = _pow2_bucket(len(groups), 64, batch_cap(L))
         analyser = get_analyser(preset, tryptic, B, L, ends, stax, stable_)
-        yield from analyser.analyse_groups(groups)
+        yield from _batchify(analyser.analyse_groups(groups))
 
     def raw_read_records(sample):
         """(full header, dna) records for the FGSpp front end — headers
@@ -1252,15 +1264,15 @@ def cmd_analyse(args, stdin, stdout):
             dev[dk] = lookup.DeviceTable.from_host(stable_)
         config = (TRYPTIC_PRESETS if tryptic else PRESETS)[preset]
         if tryptic:
-            yield from analyse_tryptic_protein_groups(
+            yield from _batchify(analyse_tryptic_protein_groups(
                 pgroups, stax, stable_, config,
                 batch_size=min(args.batch_size, 1024),
-                dtax=dev["dtax"], dtable=dev[dk])
+                dtax=dev["dtax"], dtable=dev[dk]))
         else:
-            yield from analyse_protein_groups(
+            yield from _batchify(analyse_protein_groups(
                 pgroups, stax, stable_, config,
                 batch_size=min(args.batch_size, 1024),
-                dtax=dev["dtax"], dtable=dev[dk])
+                dtax=dev["dtax"], dtable=dev[dk]))
 
     def run_sample(sample, preset, tryptic, stax, stable_):
         from . import fgspp as fgspp_mod
@@ -1291,10 +1303,10 @@ def cmd_analyse(args, stdin, stdout):
             from .io.native import StreamUnsupported
 
             try:
-                for r in run_sample_stream(sample, preset, tryptic, stax,
-                                           stable_):
-                    emitted += 1
-                    yield r
+                for hs, ts in run_sample_stream(sample, preset, tryptic,
+                                                stax, stable_):
+                    emitted += len(hs)
+                    yield hs, ts
                 return
             except (StreamUnsupported, _LongTrypticSample):
                 # Restart the sample through the fallback reader.  Reads
@@ -1304,11 +1316,15 @@ def cmd_analyse(args, stdin, stdout):
                 # deterministic — so skip that prefix of the rerun.
                 for a in analysers.values():
                     a.reset()
-        import itertools as _it
-
-        yield from _it.islice(
-            run_sample_fallback(sample, preset, tryptic, stax, stable_),
-            emitted, None)
+        for hs, ts in run_sample_fallback(sample, preset, tryptic, stax,
+                                          stable_):
+            if emitted >= len(hs):
+                emitted -= len(hs)
+                continue
+            if emitted:
+                hs, ts = hs[emitted:], ts[emitted:]
+                emitted = 0
+            yield hs, ts
 
     import time as _time
 
@@ -1321,12 +1337,22 @@ def cmd_analyse(args, stdin, stdout):
             stax, stable = load_world(tryptic)
             results = run_sample(sample, preset, tryptic, stax, stable)
 
+            def write_all(handle):
+                # one join per result batch (identical bytes to
+                # fasta.Writer's ">hdr\ntaxon\n" records, without the
+                # per-record call overhead)
+                n = 0
+                for hs, ts in results:
+                    if hasattr(ts, "tolist"):
+                        ts = ts.tolist()
+                    handle.write("".join(
+                        f">{h}\n{t}\n" for h, t in zip(hs, ts)))
+                    n += len(hs)
+                return n
+
             out_path = sample["output"]
             if out_path is None or out_path == "-":
-                writer = fasta.Writer(stdout, "\n", False)
-                for h, t in results:
-                    writer.write_record(fasta.Record(h, [str(t)]))
-                    n_out += 1
+                n_out = write_all(stdout)
             else:
                 if sample["compress"]:
                     import gzip as gzipmod
@@ -1335,10 +1361,7 @@ def cmd_analyse(args, stdin, stdout):
                 else:
                     handle = open(out_path, "w")
                 with handle:
-                    writer = fasta.Writer(handle, "\n", False)
-                    for h, t in results:
-                        writer.write_record(fasta.Record(h, [str(t)]))
-                        n_out += 1
+                    n_out = write_all(handle)
             dt = _time.perf_counter() - t_sample
             verbose(f"analyse sample {i + 1}: {n_out} records in "
                     f"{dt:.3f}s ({n_out / max(dt, 1e-9):.0f} records/s)")

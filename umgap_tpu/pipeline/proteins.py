@@ -126,20 +126,23 @@ def digest_protein_groups(groups, max_peptides: int,
     from ..index.table import _fingerprints
 
     B = len(groups)
-    hi = np.zeros((B, max_peptides), dtype=np.int32)
-    lo = np.zeros((B, max_peptides), dtype=np.int32)
-    valid = np.zeros((B, max_peptides), dtype=bool)
     frags: List[str] = []
     owners: List[Tuple[int, int]] = []
     counts = np.zeros(B, dtype=np.int64)
     for b, (_h, prots) in enumerate(groups):
         for pep in prots:
             for frag in kmerops.tryptic_digest(pep):
-                if min_len <= len(frag) <= max_len \
-                        and counts[b] < max_peptides:
+                if min_len <= len(frag) <= max_len:
                     owners.append((b, int(counts[b])))
                     frags.append(frag)
                     counts[b] += 1
+    W = max_peptides
+    widest = int(counts.max()) if B else 0
+    while W < widest:  # width-bucketed, never silently dropped
+        W *= 2
+    hi = np.zeros((B, W), dtype=np.int32)
+    lo = np.zeros((B, W), dtype=np.int32)
+    valid = np.zeros((B, W), dtype=bool)
     if frags:
         h1, h2 = _fingerprints(frags)
         for i, (b, slot) in enumerate(owners):

@@ -68,7 +68,14 @@ class BatchStream:
 
     ``feed`` accepts pre-encoded chunks of ANY size and yields results
     as they complete; ``finish`` drains the tail.  At most
-    ``depth + 1`` batches are held on the host at any time."""
+    ``depth + 1`` batches are held on the host at any time.
+
+    depth tuning (measured on-chip, 131k-pair samples): depth 3 is
+    within noise of 2 (105k vs 110k pairs/s); a background parse
+    PREFETCH THREAD loses ~35% to GIL/CPU contention with the dispatch
+    path on a 2-core host.  The remaining CLI-vs-fused gap is the
+    per-sample ramp/drain and the unoverlappable first-chunk parse —
+    both amortize with sample size."""
 
     depth = 2
 
@@ -103,10 +110,14 @@ class BatchStream:
                          constant_values=encoding.DNA_N)
         return dna, np.minimum(lens, L)
 
-    def _emit(self, item):
+    def _emit_batch(self, item):
         headers, dna, lens, n, handle = item
         taxa = self._finalize(handle, dna, lens, n)
-        for h, t in zip(headers, taxa[:n]):
+        return headers, taxa[:n]
+
+    def _emit(self, item):
+        headers, taxa = self._emit_batch(item)
+        for h, t in zip(headers, taxa):
             yield h, int(t)
 
     def _launch(self, headers, dna, lens):
@@ -150,8 +161,11 @@ class BatchStream:
         back to a different ingest path and restarts the sample)."""
         self._pend, self._pend_n, self._inflight = [], 0, []
 
-    def feed(self, headers: List[str], dna: np.ndarray, lens: np.ndarray):
-        """Queue one chunk; yields any (header, taxon) that completed."""
+    def feed_batches(self, headers: List[str], dna: np.ndarray,
+                     lens: np.ndarray):
+        """Queue one chunk; yields completed (headers, taxa-array)
+        batches — the zero-per-record-overhead form (the CLI writes
+        these in one join; ``feed`` is the per-record convenience)."""
         if len(headers):
             dna, lens = self._norm(np.asarray(dna), np.asarray(lens))
             self._pend.append((list(headers), dna, lens))
@@ -159,10 +173,17 @@ class BatchStream:
         while self._pend_n >= self.batch_size:
             self._launch(*self._take_batch())
             while len(self._inflight) > self.depth:
-                yield from self._emit(self._inflight.pop(0))
+                yield self._emit_batch(self._inflight.pop(0))
 
-    def finish(self):
-        """Flush the partial tail batch and drain everything in flight."""
+    def feed(self, headers: List[str], dna: np.ndarray, lens: np.ndarray):
+        """Queue one chunk; yields any (header, taxon) that completed."""
+        for hs, ts in self.feed_batches(headers, dna, lens):
+            for h, t in zip(hs, ts):
+                yield h, int(t)
+
+    def finish_batches(self):
+        """Flush the partial tail batch and drain everything in flight,
+        as (headers, taxa-array) batches."""
         if self._pend_n:
             hs, ds, ls = [], [], []
             for bh, bd, bl in self._pend:
@@ -173,8 +194,14 @@ class BatchStream:
             self._launch(hs, np.concatenate(ds) if len(ds) > 1 else ds[0],
                          np.concatenate(ls) if len(ls) > 1 else ls[0])
         while self._inflight:
-            yield from self._emit(self._inflight.pop(0))
+            yield self._emit_batch(self._inflight.pop(0))
         verbose("stream timings:\n" + self.timer.report())
+
+    def finish(self):
+        """Flush the partial tail batch and drain everything in flight."""
+        for hs, ts in self.finish_batches():
+            for h, t in zip(hs, ts):
+                yield h, int(t)
 
 
 class Analyser(BatchStream):

@@ -57,12 +57,12 @@ def digest_groups(
     max_len: int = MAX_PEP,
 ):
     """Translate all 6 frames of each end, digest, filter by length, and
-    fingerprint. Returns (hi, lo, valid) of shape (B, max_peptides)."""
+    fingerprint.  Returns (hi, lo, valid) of shape (B, W) where W is the
+    power-of-two bucket covering the WIDEST group's fragment count (at
+    least ``max_peptides``) — nothing is ever silently dropped; callers
+    compile one program per width bucket."""
     table = encoding.get_table(table_number)
     B = len(groups)
-    hi = np.zeros((B, max_peptides), dtype=np.int32)
-    lo = np.zeros((B, max_peptides), dtype=np.int32)
-    valid = np.zeros((B, max_peptides), dtype=bool)
     all_codes: List[np.ndarray] = []
     owners: List[Tuple[int, int]] = []
     counts = np.zeros(B, dtype=np.int64)
@@ -71,10 +71,17 @@ def digest_groups(
             for pep in translate.translate_sequence(
                     seq, translate.FRAME_NAMES, table):
                 for frag in kmerops.tryptic_digest(pep):
-                    if min_len <= len(frag) <= max_len and counts[b] < max_peptides:
+                    if min_len <= len(frag) <= max_len:
                         owners.append((b, int(counts[b])))
                         all_codes.append(encoding.encode_aa(frag))
                         counts[b] += 1
+    W = max_peptides
+    widest = int(counts.max()) if B else 0
+    while W < widest:
+        W *= 2
+    hi = np.zeros((B, W), dtype=np.int32)
+    lo = np.zeros((B, W), dtype=np.int32)
+    valid = np.zeros((B, W), dtype=bool)
     if all_codes:
         L = max(len(c) for c in all_codes)
         mat = np.zeros((len(all_codes), L), dtype=np.uint8)
@@ -209,14 +216,20 @@ def tryptic_pipeline_step(dna, lengths, dtax, dtable, config: PipelineConfig,
 def make_tryptic_pipeline(dtax: devagg.DeviceTaxonomy,
                           dtable: lookup.DeviceTable,
                           config: PipelineConfig, max_peptides: int = 128):
-    """Jitted (hi, lo, valid) -> per-read taxon (probe + taxa2agg)."""
+    """Jitted (hi, lo, valid) -> per-read taxon (probe + taxa2agg).
+
+    EXACT by construction: the per-read distinct-taxa capacity is the
+    fragment width itself (distinct taxa <= valid fragments), so no
+    k_max truncation/overflow machinery is needed on this path; jit
+    retraces per width bucket (digest_groups buckets widths in powers
+    of two)."""
 
     @jax.jit
     def step(hi, lo, valid, dtable, dtax):
         taxa, found = lookup.probe(dtable, hi, lo, valid=valid, default=0)
         hits = jnp.where(found, taxa, 0)
         utaxa, ucounts, uvalid = devagg.dedup_counts(
-            hits, jnp.ones_like(hits, jnp.float32), config.k_max)
+            hits, jnp.ones_like(hits, jnp.float32), hits.shape[-1])
         uvalid = devagg.filter_lower_bound(ucounts, uvalid, config.lower_bound)
         agg = devagg.aggregate_batch(
             dtax, utaxa, ucounts, uvalid, config.method, config.strategy,
