@@ -143,3 +143,50 @@ def test_distbuild_resume_after_kill(tmp_path):
         b = np.load(wd2 / "shards" / f"shard_{s:03d}.npz")
         assert (a["rem"] == b["rem"]).all()
         assert (a["values"] == b["values"]).all()
+
+
+@pytest.mark.multiprocess
+def test_distbuild_artifacts_serve_on_mesh(tmp_path):
+    """Built shard artifacts load straight into the serving-time
+    ShardedTable (same owner function end to end): every indexed key
+    resolves through the all-to-all probe on the 8-device mesh."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    wd = tmp_path / "job"
+    r = _drive(wd, "--synthetic", "2e5", "--shards", "8", "--workers", "2")
+    assert r.returncode == 0, r.stderr
+
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from umgap_tpu.parallel import ShardedTable, make_mesh
+    from umgap_tpu.parallel.sharded import sharded_probe_local
+
+    shards = distbuild.load_shards(str(wd))
+    mesh = make_mesh(8)
+    stable = ShardedTable.from_shards(shards, mesh)
+
+    joined = [np.load(wd / "joined" / f"s{s:03d}.npz") for s in range(8)]
+    keys = np.concatenate([z["keys"] for z in joined]).astype(np.uint64)
+    vals = np.concatenate([z["values"] for z in joined])
+    sel = np.random.default_rng(0).choice(len(keys), 4096, replace=False)
+    hi, lo = kmerops.split_packed(keys[sel])
+
+    def local(hi, lo, rows, stash):
+        return sharded_probe_local(
+            hi, lo, jnp.ones_like(hi, bool), rows[0], stable.max_probes,
+            "x", kind=stable.kind, nb_bits=stable.nb_bits,
+            bucket=stable.bucket, shard_stash=stash[0])
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P("x"), P("x"), P("x", None, None), P("x", None, None)),
+        out_specs=(P("x"), P("x")), check_vma=False)
+    got_v, got_f = fn(jnp.asarray(hi.astype(np.int32)),
+                      jnp.asarray(lo.astype(np.int32)),
+                      stable.rows, stable.stash)
+    assert np.asarray(got_f).all()
+    assert (np.asarray(got_v) == vals[sel]).all()
