@@ -271,3 +271,28 @@ def test_sharded_stash_hits_cross_shards():
     got_v = np.asarray(got_v)[: len(packed)]
     assert np.asarray(got_f)[: len(packed)].all()
     assert (got_v == values).all()
+
+
+def test_sharded_tryptic_host_chip_mesh():
+    """The tryptic sharded pipeline over a 2-D (host, chip) mesh —
+    collectives span the flattened product axis — matches the 1-D mesh
+    result (the multi-host layout, emulated in one process)."""
+    from jax.sharding import Mesh
+
+    rng = np.random.default_rng(37)
+    tax, dtax, dna, lens, frags, values = _tryptic_world(rng)
+    mesh = make_mesh(8)
+    shards = build_sharded_peptide_tables(frags, values, n_shards=8)
+    stable = ShardedTable.from_shards(shards, mesh)
+    config = TRYPTIC_PRESETS["tryptic-sensitivity"]._replace(k_max=32)
+    got1, freq1 = make_sharded_tryptic_pipeline(
+        dtax, stable, config, mesh)(dna, lens)
+
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    pmesh = Mesh(devs, ("host", "chip"))
+    stable2 = ShardedTable.from_shards(shards, pmesh,
+                                       axis=("host", "chip"))
+    got2, freq2 = make_sharded_tryptic_pipeline(
+        dtax, stable2, config, pmesh, axis=("host", "chip"))(dna, lens)
+    assert np.array_equal(np.asarray(got1), np.asarray(got2))
+    assert np.array_equal(np.asarray(freq1), np.asarray(freq2))

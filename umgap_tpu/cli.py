@@ -1041,8 +1041,10 @@ class _LongTrypticSample(Exception):
 
 def cmd_analyse(args, stdin, stdout):
     """The six preset pipelines, fused on device
-    (scripts/umgap-analyse.sh:276-311; FGSpp replaced by 6-frame
-    translation for the non-tryptic front end). Supports the script's
+    (scripts/umgap-analyse.sh:276-311; the precision presets run
+    FragGeneScan++ when installed under the config dir, --fgspp, and
+    the self-contained 6-frame translation otherwise). Supports the
+    script's
     multi-sample mode: repeated -1/-2/-t/-z/-o groups share the loaded
     taxonomy, the device-resident indexes AND the compiled programs
     across samples (the analogue of its socket index service).
@@ -1127,7 +1129,8 @@ def cmd_analyse(args, stdin, stdout):
         return max(64, (args.batch_size * args.read_length) // L)
 
     def run_sample_stream(sample, preset, tryptic, stax, stable_):
-        """Native streaming path; yields (header, taxon) in order."""
+        """Native streaming path; yields (headers, taxa) batches in
+        input order."""
         paired = bool(sample["second"])
         ends = 2 if paired else 1
         ladder = _analyse_width_ladder(args.read_length)
