@@ -35,6 +35,8 @@ from umgap_tpu.parallel import (  # noqa: E402
     per_host_groups,
     pod_mesh,
 )
+from umgap_tpu.parallel.multihost import make_multihost_tryptic_pipeline  # noqa: E402
+from umgap_tpu.pipeline.tryptic import TRYPTIC_PRESETS  # noqa: E402
 from umgap_tpu.pipeline import PRESETS  # noqa: E402
 
 import __graft_entry__ as ge  # noqa: E402
@@ -65,6 +67,16 @@ taxa, freq = step(dna, lengths)
 taxa_full = multihost_utils.process_allgather(taxa, tiled=True)
 freq_full = np.asarray(freq)
 
+# the tryptic sharded pipeline across the same 2-process mesh
+PEPS = ["AAAAAAAAAK", "CDEFGHILMN", "QQQQSTVWYA", "MSTVWYACDE"]
+tconfig = TRYPTIC_PRESETS["tryptic-sensitivity"]._replace(k_max=16)
+tmesh, tstep = make_multihost_tryptic_pipeline(
+    tax, PEPS, np.array([2, 10239, 12884, 185751], np.int32), tconfig)
+tdna, tlen = global_batch(local_dna, local_len, tmesh)
+ttaxa, tfreq = tstep(tdna, tlen)
+ttaxa_full = multihost_utils.process_allgather(ttaxa, tiled=True)
+
 if pid == 0:
-    np.savez(outfile, taxa=np.asarray(taxa_full), freq=freq_full)
+    np.savez(outfile, taxa=np.asarray(taxa_full), freq=freq_full,
+             ttaxa=np.asarray(ttaxa_full), tfreq=np.asarray(tfreq))
 jax.distributed.shutdown()

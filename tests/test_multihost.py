@@ -59,3 +59,19 @@ def test_two_process_pipeline_matches_single(tmp_path):
     lengths = np.full((B, E), L, dtype=np.int32)
     expected = np.asarray(pipeline_step(dna, lengths, dtax, dtable, config))
     np.testing.assert_array_equal(taxa, expected)
+
+    # tryptic across the same 2-process mesh vs single-process device run
+    from umgap_tpu.index.table import PeptideTable
+    from umgap_tpu.pipeline.tryptic import (
+        TRYPTIC_PRESETS,
+        tryptic_pipeline_step,
+    )
+
+    PEPS = ["AAAAAAAAAK", "CDEFGHILMN", "QQQQSTVWYA", "MSTVWYACDE"]
+    ptable = PeptideTable.build(
+        PEPS, np.array([2, 10239, 12884, 185751], np.int32))
+    tconfig = TRYPTIC_PRESETS["tryptic-sensitivity"]._replace(k_max=16)
+    texpected = np.asarray(tryptic_pipeline_step(
+        dna, lengths, dtax, lookup.DeviceTable.from_host(ptable), tconfig))
+    np.testing.assert_array_equal(data["ttaxa"], texpected)
+    assert float(data["tfreq"].sum()) == 16.0

@@ -114,3 +114,25 @@ def make_multihost_pipeline(tax, packed: np.ndarray, values: np.ndarray,
     stable = ShardedTable.from_shards(shards, mesh, axis=axis)
     step = make_sharded_pipeline(dtax, stable, config, mesh, axis=axis)
     return mesh, step
+
+
+def make_multihost_tryptic_pipeline(tax, peptides, values: np.ndarray,
+                                    config, axis: str = "x"):
+    """The tryptic analogue: peptide fingerprints hash-range sharded
+    over the global mesh, digest local, probes routed all-to-all
+    (prot2tryp2lca semantics across the pod)."""
+    from ..agg import device as devagg
+    from .sharded import (
+        ShardedTable,
+        build_sharded_peptide_tables,
+        make_sharded_tryptic_pipeline,
+    )
+
+    mesh = flat_mesh(axis)
+    n = mesh.devices.size
+    dtax = devagg.DeviceTaxonomy.from_host(tax)
+    shards = build_sharded_peptide_tables(peptides, values, n_shards=n)
+    stable = ShardedTable.from_shards(shards, mesh, axis=axis)
+    step = make_sharded_tryptic_pipeline(dtax, stable, config, mesh,
+                                         axis=axis)
+    return mesh, step
