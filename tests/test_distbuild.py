@@ -127,7 +127,9 @@ def test_distbuild_resume_after_kill(tmp_path):
         time.sleep(0.1)
     os.killpg(proc.pid, signal.SIGKILL)
     proc.wait()
-    assert not (wd / "shards" / "shard_000.npz").exists() or True
+    # the kill must land BEFORE the job completed, or the resume path
+    # under test is not exercised
+    assert len(list((wd / "shards").glob("*.done"))) < 4
 
     done_before = len(list((wd / "part").glob("*.done")))
     r = _drive(wd, *args)

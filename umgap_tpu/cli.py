@@ -1211,9 +1211,15 @@ def cmd_analyse(args, stdin, stdout):
             if maxlen > args.read_length:
                 verbose("tryptic sample has records beyond --read-length; "
                         "using the host-digest path (full-length digest)")
+                if "dtax" not in dev:
+                    dev["dtax"] = devagg.DeviceTaxonomy.from_host(stax)
+                if ("dtable", True) not in dev:
+                    dev[("dtable", True)] = \
+                        lookup.DeviceTable.from_host(stable_)
                 yield from _batchify(analyse_tryptic_groups(
                     groups, stax, stable_, TRYPTIC_PRESETS[preset],
-                    batch_size=min(args.batch_size, 1024)))
+                    batch_size=min(args.batch_size, 1024),
+                    dtax=dev["dtax"], dtable=dev[("dtable", True)]))
                 return
         ladder = _analyse_width_ladder(args.read_length)
         maxlen = max((len(s) for _h, ss in groups for s in ss), default=0)

@@ -55,14 +55,23 @@ def predict_genes(binary: str, train: str,
         fgspp_command(binary, train, **kw),
         stdin=subprocess.PIPE, stdout=subprocess.PIPE,
         stderr=subprocess.DEVNULL)
+    feed_error: List[BaseException] = []
 
     def feed():
         try:
             for header, dna in records:
                 proc.stdin.write(f">{header}\n{dna}\n".encode())
-            proc.stdin.close()
         except BrokenPipeError:
             pass
+        except BaseException as e:  # noqa: BLE001 — re-raised below
+            feed_error.append(e)
+        finally:
+            # always close stdin: a reader error must end FGSpp's input
+            # (otherwise it blocks forever and so would we)
+            try:
+                proc.stdin.close()
+            except OSError:
+                pass
 
     writer = threading.Thread(target=feed, daemon=True)
     writer.start()
@@ -81,6 +90,8 @@ def predict_genes(binary: str, train: str,
         yield header, "".join(seq)
     writer.join()
     rc = proc.wait()
+    if feed_error:
+        raise feed_error[0]
     if rc != 0:
         raise RuntimeError(f"FGSpp exited with status {rc}")
 
@@ -89,7 +100,11 @@ def group_genes(records: Iterable[Tuple[str, str]], delimiter: str = "/"):
     """uniq -d semantics over FGSpp output: merge CONSECUTIVE records
     whose header (cut at the delimiter — which also strips FGSpp's
     _start_end_strand suffix along with the end marker) agree into one
-    (header, [proteins]) group."""
+    (header, [proteins]) group.
+
+    Headers WITHOUT the delimiter (single-end inputs) keep their FGSpp
+    suffix and do not merge — faithfully mirroring the reference, whose
+    ``uniq -d /`` also only truncates at '/' (umgap-analyse.sh:303)."""
     cur: Optional[str] = None
     seqs: List[str] = []
     for header, protein in records:

@@ -90,11 +90,13 @@ def read_tsv_chunk(path: str, start: int, end: int, k: int):
             f.seek(start - 1)
             f.readline()  # consume the partial first line
             start = f.tell()
+        if start >= end:
+            # a single line spanned the whole range: the chunk owning
+            # the line's start parses it; this one contributes nothing
+            return np.zeros(0, np.uint64), np.zeros(0, np.int32)
         data = f.read(end - start)
         if not data.endswith(b"\n"):
             data += f.readline()
-    if start >= end and not data:
-        return np.zeros(0, np.uint64), np.zeros(0, np.int32)
     return native.split_kmers_tsv(data, k=k)
 
 

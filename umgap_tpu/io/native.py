@@ -169,15 +169,16 @@ def parse_fasta_file(path: str, max_len: int = 160,
 # ---------------------------------------------------------------------- #
 
 def _open_stream(path: str):
-    """Binary stream; gzip sniffed by magic (umgap-analyse.sh:159-175)."""
-    f = open(path, "rb")
-    magic = f.read(2)
-    f.seek(0)
+    """Binary stream; gzip sniffed by magic (umgap-analyse.sh:159-175).
+    Opens by PATH in both branches — GzipFile over a caller-owned
+    fileobj would leak the raw descriptor on close."""
+    with open(path, "rb") as probe:
+        magic = probe.read(2)
     if magic == b"\x1f\x8b":
         import gzip
 
-        return gzip.open(f, "rb")
-    return f
+        return gzip.open(path, "rb")
+    return open(path, "rb")
 
 
 class StreamUnsupported(ValueError):
@@ -238,7 +239,19 @@ def stream_parse(path: str, fmt: str, max_len: int = 160,
         raise RuntimeError("native library unavailable")
     fn = {"fastq": "umgap_parse_fastq", "fasta": "umgap_parse_fasta"}[fmt]
     cut = {"fastq": _fastq_cut, "fasta": _fasta_cut}[fmt]
-    cap_hint = max(chunk_bytes // 64, 1 << 10)
+
+    def n_records(buf: bytes) -> int:
+        """Exact record count of a complete-records buffer, so the
+        (records x width) codes allocation never overshoots — a
+        byte-based guess times a grown width ladder could balloon to
+        GBs per chunk."""
+        if fmt == "fastq":
+            nl = buf.count(b"\n")
+            if buf and not buf.endswith(b"\n"):
+                nl += 1
+            return nl // 4
+        return buf.count(b"\n>") + (1 if buf.startswith(b">") else 0)
+
     width = max_len
     tail = b""
     with _open_stream(path) as f:
@@ -254,6 +267,7 @@ def stream_parse(path: str, fmt: str, max_len: int = 160,
                 continue
             buf, tail = buf[:at], buf[at:]
             if buf:
+                cap_hint = n_records(buf) + 1
                 out = _parse_all(fn, buf, width, cap_hint)
                 if width_ladder and out[3] > width:
                     new_w = next((w for w in width_ladder if w >= out[3]),

@@ -424,6 +424,12 @@ class ShardedAnalyser:
         """dna: (B, E, L) uint8 codes, B divisible by the mesh size.
         Returns (taxa (B,), freq (n_ranks,)) — exact (overflow
         re-routed), freq corrected for the re-routed reads."""
+        if dna.shape[1] != self.ends or dna.shape[2] > self.read_length:
+            # the wide program's exact k_max is sized from these; a
+            # wider batch would silently lose the exactness guarantee
+            raise ValueError(
+                f"batch shape {dna.shape} exceeds the analyser's "
+                f"(ends={self.ends}, read_length={self.read_length})")
         taxa, freq, over = self.step(jnp.asarray(dna), jnp.asarray(lens))
         taxa = np.array(taxa)
         freq = np.array(freq)

@@ -298,10 +298,14 @@ def analyse_tryptic_device(groups, tax, table, config: PipelineConfig,
 
 
 def analyse_tryptic_groups(groups, tax, table, config: PipelineConfig,
-                           batch_size: int = 256, max_peptides: int = 128):
-    """Host digest + device probe/aggregate over read groups."""
-    dtax = devagg.DeviceTaxonomy.from_host(tax)
-    dtable = lookup.DeviceTable.from_host(table)
+                           batch_size: int = 256, max_peptides: int = 128,
+                           dtax=None, dtable=None):
+    """Host digest + device probe/aggregate over read groups. Pass
+    prebuilt ``dtax``/``dtable`` to reuse device state across samples
+    (the CLI's cross-sample cache)."""
+    dtax = dtax if dtax is not None else devagg.DeviceTaxonomy.from_host(tax)
+    dtable = dtable if dtable is not None else \
+        lookup.DeviceTable.from_host(table)
     step = make_tryptic_pipeline(dtax, dtable, config, max_peptides)
     groups = list(groups)
     out = []
