@@ -270,3 +270,18 @@ def test_analyse_tryptic_long_record_host_fallback(world, tmp_path):
     lines = text.strip().splitlines()
     assert lines[0] == ">T"
     assert lines[1] == "2"
+
+
+def test_analyse_paired_zip_stops_at_shortest(world, tmp_path):
+    """utils::Zip semantics through the native streaming path: a
+    shorter second file truncates the sample at its length."""
+    taxfile, idxfile = world
+    with open(os.path.join(TESTDATA, "A2.fq")) as f:
+        lines = f.read().splitlines()
+    short = tmp_path / "A2short.fq"
+    short.write_text("\n".join(lines[: 4 * 37]) + "\n")
+    text = _run_analyse([
+        "-t", "max-sensitivity",
+        "-1", os.path.join(TESTDATA, "A1.fq"), "-2", str(short),
+        "--taxons", taxfile, "--index", idxfile, "--read-length", "100"])
+    assert text.count(">") == 37
