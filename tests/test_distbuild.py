@@ -192,3 +192,29 @@ def test_distbuild_artifacts_serve_on_mesh(tmp_path):
                       stable.rows, stable.stash)
     assert np.asarray(got_f).all()
     assert (np.asarray(got_v) == vals[sel]).all()
+
+
+@pytest.mark.multiprocess
+def test_printindex_over_shards_dir(tmp_path):
+    """printindex accepts a buildindex-dist workdir and streams the
+    merged key-sorted (kmer, taxon) pairs — matching the per-shard
+    joined outputs exactly."""
+    import io
+
+    from umgap_tpu.cli import main as cli_main
+
+    wd = tmp_path / "job"
+    r = _drive(wd, "--synthetic", "5e4", "--shards", "2", "--workers", "2")
+    assert r.returncode == 0, r.stderr
+    out = io.StringIO()
+    rc = cli_main(["printindex", str(wd)], stdin=io.StringIO(""),
+                  stdout=out)
+    assert rc == 0
+    lines = out.getvalue().splitlines()
+    joined = [np.load(wd / "joined" / f"s{s:03d}.npz") for s in range(2)]
+    keys = np.concatenate([z["keys"] for z in joined]).astype(np.uint64)
+    vals = np.concatenate([z["values"] for z in joined])
+    order = np.argsort(keys)
+    expect = [f"{kmerops.unpack_kmer(int(k), 9)}\t{int(v)}"
+              for k, v in zip(keys[order], vals[order])]
+    assert lines == expect  # packed-key order, same as the single-table path

@@ -347,3 +347,30 @@ def test_bucket8s_degrades_to_bucket16_geometry(monkeypatch):
     assert t.max_probes == 0
     hv, hf = t.probe_host(*kmers.split_packed(packed))
     assert hf.all() and (hv == values).all()
+
+
+def test_pinned_capacity_respects_remainder_floor():
+    """A caller-pinned capacity below bucket << MIN_NB_BITS must be
+    floored: nb_bits < 15 would make the 31-bit remainder alias the
+    probe-distance tag (bit 30), corrupting items() reconstruction and
+    risking probe false positives (found via printindex over bucket16
+    distbuild shards)."""
+    from umgap_tpu.index.table import MIN_NB_BITS, KmerTable
+
+    rng = np.random.default_rng(41)
+    n = 60_000
+    packed = np.unique(
+        rng.integers(0, 2 ** 45, size=2 * n).astype(np.uint64))[:n]
+    values = rng.integers(1, 1 << 22, size=n).astype(np.int32)
+    t = KmerTable.build(packed, values, k=9, bucket=16,
+                        max_probe_limit=1, stash_cap=256,
+                        capacity=1 << 18)  # would be nb_bits=14
+    assert t.nb_bits >= MIN_NB_BITS
+    assert t.capacity == 16 << MIN_NB_BITS
+    hv, hf = t.probe_host(*kmers.split_packed(packed))
+    assert hf.all() and (hv == values).all()
+    got_keys, got_vals = t.items()
+    order = np.argsort(got_keys)
+    assert (got_keys[order] == np.sort(packed)).all()
+    m = {int(k): int(v) for k, v in zip(packed, values)}
+    assert all(m[int(k)] == int(v) for k, v in zip(got_keys, got_vals))

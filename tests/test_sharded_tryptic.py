@@ -222,24 +222,40 @@ def test_sharded_stash_hits_cross_shards():
     """Dense shards push keys into per-shard stashes; stash-resident
     keys must still resolve through the all-to-all probe."""
     rng = np.random.default_rng(23)
-    n = 6000
-    packed = np.unique(
-        rng.integers(0, 2 ** 45, size=2 * n).astype(np.uint64))[:n]
-    values = rng.integers(1, 10_000, size=len(packed)).astype(np.int32)
-    # pinned tight capacity (~0.73 load): the single-probe limit pushes
-    # bucket-overflow keys into each shard's stash
+    # dense shards at the geometry floor (262144 slots, ~0.7 load): the
+    # single-probe limit pushes bucket-overflow keys into each shard's
+    # stash (capacities below bucket << MIN_NB_BITS are floored — the
+    # 30-bit remainder + distance-tag invariant)
+    from umgap_tpu.index.table import MIN_NB_BITS
     from umgap_tpu.parallel.sharded import owner_of
 
+    cap = 8 << MIN_NB_BITS
+    n = int(8 * cap * 0.55)
+    packed = np.unique(
+        rng.integers(0, 2 ** 45, size=int(1.1 * n)).astype(np.uint64))[:n]
+    values = rng.integers(1, 10_000, size=len(packed)).astype(np.int32)
     hi_, lo_ = kmerops.split_packed(packed)
     owner = owner_of(hi_, lo_, 8)
     shards = [
         KmerTable.build(packed[owner == s], values[owner == s], k=9,
-                        bucket=8, max_probe_limit=0, stash_cap=256,
-                        capacity=1024)
+                        bucket=8, max_probe_limit=0, stash_cap=4096,
+                        capacity=cap)
         for s in range(8)
     ]
+    for t in shards:
+        assert t.capacity == cap
     n_stash = sum(len(t.stash_hi) for t in shards)
     assert n_stash > 0, "need stash-resident keys for this test"
+
+    # probe a sample that includes EVERY stash-resident key (stash
+    # compares broadcast against all queries — keep the query set small)
+    val_of = dict(zip(packed.tolist(), values.tolist()))
+    stash_keys = np.concatenate([
+        kmerops.join_packed(t.stash_hi, t.stash_lo) for t in shards
+        if len(t.stash_hi)])
+    sample = rng.choice(packed, size=16384, replace=False)
+    packed = np.unique(np.concatenate([stash_keys, sample]))
+    values = np.array([val_of[int(k)] for k in packed], dtype=np.int32)
 
     mesh = make_mesh(8)
     stable = ShardedTable.from_shards(shards, mesh)

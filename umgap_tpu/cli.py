@@ -572,6 +572,26 @@ def cmd_buildindex_dist(args, stdin, stdout):
 def cmd_printindex(args, stdin, stdout):
     from .index.table import CuckooKmerTable, KmerTable
 
+    if os.path.isdir(args.fst_file):
+        # a buildindex-dist workdir: merge the shard artifacts into one
+        # key-sorted stream (the FST prints sorted; so do we)
+        from .index import distbuild
+
+        shards = distbuild.load_shards(args.fst_file)
+        packed = []
+        values = []
+        k = shards[0].k if shards else 9
+        for t in shards:
+            p, v = t.items()
+            packed.append(p)
+            values.append(v)
+        packed = np.concatenate(packed) if packed else np.zeros(0, np.uint64)
+        values = np.concatenate(values) if values else np.zeros(0, np.int32)
+        order = np.argsort(packed)
+        for p, v in zip(packed[order], values[order]):
+            stdout.write(f"{kmerops.unpack_kmer(int(p), k)}\t{int(v)}\n")
+        return
+
     table = _load_table(args.fst_file)
     if isinstance(table, (KmerTable, CuckooKmerTable)):
         packed, values = table.items()

@@ -219,7 +219,7 @@ def common_capacity(workdir: str, manifest: dict) -> int:
     size it on the LARGEST shard's real bucket histogram (shards are
     hash-balanced, so the others match statistically) and keep a margin
     of half the stash."""
-    from .table import BUCKET, MIN_NB_BITS, _pow2_capacity, mix_key
+    from .table import MIN_NB_BITS, _pow2_capacity, mix_key
     from ..ops import kmers as kmerops
 
     cap_path = os.path.join(workdir, "capacity.json")
@@ -231,7 +231,8 @@ def common_capacity(workdir: str, manifest: dict) -> int:
         z = np.load(os.path.join(workdir, "joined", f"s{s:03d}.npz"))
         if len(z["keys"]) > max_n:
             max_n, max_s = len(z["keys"]), s
-    cap = _pow2_capacity(max_n, LOAD_FACTOR, BUCKET << MIN_NB_BITS)
+    bucket = 8 if manifest["layout"] == "bucket8s" else 16
+    cap = _pow2_capacity(max_n, LOAD_FACTOR, bucket << MIN_NB_BITS)
     z = np.load(os.path.join(workdir, "joined", f"s{max_s:03d}.npz"))
     keys = z["keys"].astype(np.uint64)
     if len(keys) and manifest["layout"] == "bucket8s":

@@ -283,6 +283,11 @@ class KmerTable:
         mhi, mlo = mix_key(hi, lo)
         cap = capacity or _pow2_capacity(
             len(values), load_factor, bucket << MIN_NB_BITS)
+        # The 30-bit-remainder + distance-tag invariant needs
+        # nb_bits >= MIN_NB_BITS; a caller-pinned capacity below the
+        # floor would let remainder bit 30 alias the tag (corrupting
+        # items() reconstruction and risking probe false positives).
+        cap = max(cap, bucket << MIN_NB_BITS)
         while True:
             nb_bits = int(np.log2(max(cap // bucket, 1)))
             if nb_bits > MAX_NB_BITS:
