@@ -855,6 +855,16 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--read-length", type=int, default=160)
     sp.add_argument("--trace-dir", default=None,
                     help="write a JAX profiler (xprof) trace here")
+    sp.add_argument("--serve", default=None, metavar="SOCKET",
+                    help="after any initial samples, keep serving: each "
+                         "Unix-socket connection sends one request line "
+                         "(-t TYPE -1 R1 [-2 R2] [-z] [-o OUT], "
+                         "repeatable) and gets 'ok <n>' per written "
+                         "output (or the FASTA streamed back without "
+                         "-o); compiled programs + device state stay "
+                         "hot across requests — the full-pipeline "
+                         "analogue of the reference's socket index "
+                         "service ('quit' stops it)")
     sp.add_argument("--fgspp", choices=["auto", "never", "require"],
                     default="auto",
                     help="FragGeneScan++ gene-prediction front end for "
@@ -982,12 +992,16 @@ class _SampleAction(argparse.Action):
             setattr(namespace, self.dest, values)
 
 
-def _analyse_samples(args):
+def _analyse_samples(args, allow_empty: bool = False):
     """Per-sample groups from the recorded option order. Each `-o`
     closes a sample and resets type/inputs/compress to defaults
     (umgap-analyse.sh:208-213). Without any `-o`, the whole invocation
     is one stdout sample (back-compat)."""
     seq = getattr(args, "_sequence", []) or []
+    return _samples_from_seq(seq, allow_empty=allow_empty)
+
+
+def _samples_from_seq(seq, allow_empty: bool = False):
     samples = []
     fresh = dict(type="high-precision", first=None, second=None,
                  compress=False, output=None)
@@ -1008,7 +1022,7 @@ def _analyse_samples(args):
         samples.append(cur)  # single sample, stdout
     elif cur["first"] is not None and samples:
         raise CliError("Trailing input files without an output file.")
-    if not samples:
+    if not samples and not allow_empty:
         raise CliError("No samples given (need at least -1 <reads>).")
     return samples
 
@@ -1090,7 +1104,8 @@ def cmd_analyse(args, stdin, stdout):
     from .pipeline.tryptic import TrypticAnalyser, analyse_tryptic_groups
     from .utils import device_trace, log, verbose
 
-    samples = _analyse_samples(args)
+    samples = _analyse_samples(
+        args, allow_empty=bool(getattr(args, "serve", None)))
 
     tax = None
     tables: dict = {}
@@ -1357,43 +1372,150 @@ def cmd_analyse(args, stdin, stdout):
 
     import time as _time
 
+    def process_sample(sample, label: str, default_out) -> int:
+        """Run one sample end-to-end and write its output (to its -o
+        path, or ``default_out``); returns the record count."""
+        t_sample = _time.perf_counter()
+        preset = sample["type"]
+        tryptic = preset in TRYPTIC_PRESETS
+        stax, stable = load_world(tryptic)
+        results = run_sample(sample, preset, tryptic, stax, stable)
+
+        def write_all(handle):
+            # one join per result batch (identical bytes to
+            # fasta.Writer's ">hdr\ntaxon\n" records, without the
+            # per-record call overhead)
+            n = 0
+            for hs, ts in results:
+                if hasattr(ts, "tolist"):
+                    ts = ts.tolist()
+                handle.write("".join(
+                    f">{h}\n{t}\n" for h, t in zip(hs, ts)))
+                n += len(hs)
+            return n
+
+        out_path = sample["output"]
+        if out_path is None or out_path == "-":
+            n_out = write_all(default_out)
+        else:
+            if sample["compress"]:
+                import gzip as gzipmod
+
+                handle = gzipmod.open(out_path, "wt")
+            else:
+                handle = open(out_path, "w")
+            with handle:
+                n_out = write_all(handle)
+        dt = _time.perf_counter() - t_sample
+        verbose(f"analyse sample {label}: {n_out} records in "
+                f"{dt:.3f}s ({n_out / max(dt, 1e-9):.0f} records/s)")
+        return n_out
+
     with device_trace(getattr(args, "trace_dir", None)):
         for i, sample in enumerate(samples):
-            t_sample = _time.perf_counter()
-            n_out = 0
-            preset = sample["type"]
-            tryptic = preset in TRYPTIC_PRESETS
-            stax, stable = load_world(tryptic)
-            results = run_sample(sample, preset, tryptic, stax, stable)
+            process_sample(sample, str(i + 1), stdout)
+        if getattr(args, "serve", None):
+            _serve_analyse(args.serve, process_sample)
 
-            def write_all(handle):
-                # one join per result batch (identical bytes to
-                # fasta.Writer's ">hdr\ntaxon\n" records, without the
-                # per-record call overhead)
-                n = 0
-                for hs, ts in results:
-                    if hasattr(ts, "tolist"):
-                        ts = ts.tolist()
-                    handle.write("".join(
-                        f">{h}\n{t}\n" for h, t in zip(hs, ts)))
-                    n += len(hs)
-                return n
 
-            out_path = sample["output"]
-            if out_path is None or out_path == "-":
-                n_out = write_all(stdout)
-            else:
-                if sample["compress"]:
-                    import gzip as gzipmod
+def _serve_analyse(socket_path: str, process_sample) -> None:
+    """Persistent sample service on a Unix socket — the full-pipeline
+    analogue of the reference's socket index service
+    (/root/reference/src/commands/prot2kmer2lca.rs:116-137): compiled
+    programs and device-resident state stay hot across requests, so
+    every sample after the first skips the (minutes-long on remote
+    backends) trace/compile entirely.
 
-                    handle = gzipmod.open(out_path, "wt")
-                else:
-                    handle = open(out_path, "w")
-                with handle:
-                    n_out = write_all(handle)
-            dt = _time.perf_counter() - t_sample
-            verbose(f"analyse sample {i + 1}: {n_out} records in "
-                    f"{dt:.3f}s ({n_out / max(dt, 1e-9):.0f} records/s)")
+    Protocol: one request line per connection, shell-style tokens
+    ``-t TYPE -1 R1 [-2 R2] [-z] [-o OUT]`` (repeatable per sample,
+    exactly like the CLI). With ``-o`` the reply is ``ok <n>`` per
+    sample after the file is written; without it the FASTA streams back
+    over the connection. ``quit`` stops the server; per-request errors
+    are reported as ``error <msg>`` without killing the service."""
+    import shlex
+    import socket as socketmod
+
+    from .utils import log
+
+    try:
+        os.unlink(socket_path)
+    except FileNotFoundError:
+        pass
+    srv = socketmod.socket(socketmod.AF_UNIX)
+    srv.bind(socket_path)
+    srv.listen(8)
+    log(f"analyse service listening on {socket_path}")
+    count = 0
+    try:
+        while True:
+            conn, _addr = srv.accept()
+            # makefile() wrappers keep the socket alive past `conn`'s
+            # close — close them explicitly so the peer sees EOF
+            rfile = conn.makefile("r")
+            wfile = conn.makefile("w")
+            stop = False
+            try:
+                line = rfile.readline()
+                if line and line.strip() == "quit":
+                    wfile.write("bye\n")
+                    wfile.flush()
+                    stop = True
+                elif line:
+                    try:
+                        req = _parse_analyse_request(shlex.split(line))
+                        for sample in req:
+                            count += 1
+                            n = process_sample(sample, f"srv-{count}",
+                                               wfile)
+                            if sample["output"] not in (None, "-"):
+                                wfile.write(f"ok {n}\n")
+                        wfile.flush()
+                    except BrokenPipeError:
+                        pass
+                    except Exception as e:  # noqa: BLE001 — keep serving
+                        try:
+                            wfile.write(f"error {e}\n")
+                            wfile.flush()
+                        except OSError:
+                            pass
+            finally:
+                for h in (wfile, rfile):
+                    try:
+                        h.close()
+                    except OSError:
+                        pass
+                conn.close()
+            if stop:
+                break
+    finally:
+        srv.close()
+        try:
+            os.unlink(socket_path)
+        except FileNotFoundError:
+            pass
+
+
+def _parse_analyse_request(tokens):
+    """Request tokens -> sample dicts (the socket-service mirror of the
+    CLI's repeated -1/-2/-t/-z/-o groups, cli._analyse_samples)."""
+    seq = []
+    i = 0
+    flags = {"-t": "type", "--type": "type", "-1": "first",
+             "--first": "first", "-2": "second", "--second": "second",
+             "-o": "output", "--output": "output"}
+    while i < len(tokens):
+        tok = tokens[i]
+        if tok in ("-z", "--compress"):
+            seq.append(("compress", None))
+            i += 1
+        elif tok in flags:
+            if i + 1 >= len(tokens):
+                raise CliError(f"missing value for {tok}")
+            seq.append((flags[tok], tokens[i + 1]))
+            i += 2
+        else:
+            raise CliError(f"unknown request token {tok!r}")
+    return _samples_from_seq(seq)
 
 
 def main(argv=None, stdin=None, stdout=None) -> int:
