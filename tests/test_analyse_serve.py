@@ -105,7 +105,19 @@ def test_analyse_service(world, tmp_path, monkeypatch):
 
     # a bad request reports an error but keeps the service alive
     r = _request(sock, "-t bogus-preset -1 nope.fq -o /dev/null")
-    assert r.startswith("error")
+    assert r.startswith("error") and "unknown preset" in r
+
+    # a client that connects and closes without sending a line must
+    # not wedge the single-threaded service
+    c = socket.socket(socket.AF_UNIX)
+    c.connect(sock)
+    c.close()
+
+    # a tryptic request against the pinned 9-mer index errors clearly
+    # instead of silently emitting taxon 1 everywhere
+    r = _request(sock, f"-t tryptic-sensitivity -1 {TESTDATA}/A1.fq "
+                       f"-2 {TESTDATA}/A2.fq -o /dev/null")
+    assert r.startswith("error") and "index" in r
     r = _request(sock, f"-t max-sensitivity -1 {TESTDATA}/A1.fq "
                        f"-2 {TESTDATA}/A2.fq -o {out2}")
     assert r.strip() == "ok 100"

@@ -1131,7 +1131,15 @@ def cmd_analyse(args, stdin, stdout):
         if tax is None:
             tax = _load_taxonomy(taxons_path)
         if tryptic not in tables:
-            tables[tryptic] = _load_table(index_path)
+            table = _load_table(index_path)
+            if (table.kind == "peptide") != tryptic:
+                # a pinned --index of the wrong family would otherwise
+                # probe garbage and silently emit taxon 1 everywhere
+                need = "peptide (tryptic)" if tryptic else "9-mer"
+                raise CliError(
+                    f"index {index_path} is a {table.kind} index but "
+                    f"the preset needs a {need} index")
+            tables[tryptic] = table
         return tax, tables[tryptic]
 
     # Device state and compiled analysers shared across samples: a
@@ -1139,6 +1147,8 @@ def cmd_analyse(args, stdin, stdout):
     # program once (compiles dominate multi-sample wall time here).
     dev: dict = {}
     analysers: dict = {}
+    aux_cache: dict = {}  # jitted steps/analysers of the host-digest and
+    #                       FGSpp paths, hot across samples/requests
 
     def get_analyser(preset: str, tryptic: bool, B: int, L: int, ends: int,
                      stax, stable_):
@@ -1254,7 +1264,8 @@ def cmd_analyse(args, stdin, stdout):
                 yield from _batchify(analyse_tryptic_groups(
                     groups, stax, stable_, TRYPTIC_PRESETS[preset],
                     batch_size=min(args.batch_size, 1024),
-                    dtax=dev["dtax"], dtable=dev[("dtable", True)]))
+                    dtax=dev["dtax"], dtable=dev[("dtable", True)],
+                    step_cache=aux_cache))
                 return
         ladder = _analyse_width_ladder(args.read_length)
         maxlen = max((len(s) for _h, ss in groups for s in ss), default=0)
@@ -1311,12 +1322,13 @@ def cmd_analyse(args, stdin, stdout):
             yield from _batchify(analyse_tryptic_protein_groups(
                 pgroups, stax, stable_, config,
                 batch_size=min(args.batch_size, 1024),
-                dtax=dev["dtax"], dtable=dev[dk]))
+                dtax=dev["dtax"], dtable=dev[dk], step_cache=aux_cache))
         else:
             yield from _batchify(analyse_protein_groups(
                 pgroups, stax, stable_, config,
                 batch_size=min(args.batch_size, 1024),
-                dtax=dev["dtax"], dtable=dev[dk]))
+                dtax=dev["dtax"], dtable=dev[dk],
+                analyser_cache=aux_cache))
 
     def run_sample(sample, preset, tryptic, stax, stable_):
         from . import fgspp as fgspp_mod
@@ -1431,7 +1443,9 @@ def _serve_analyse(socket_path: str, process_sample) -> None:
     exactly like the CLI). With ``-o`` the reply is ``ok <n>`` per
     sample after the file is written; without it the FASTA streams back
     over the connection. ``quit`` stops the server; per-request errors
-    are reported as ``error <msg>`` without killing the service."""
+    are reported as ``error <msg>`` without killing the service (the
+    in-band error line is unambiguous even mid-stream: FASTA replies
+    only contain '>'-headers and digit lines)."""
     import shlex
     import socket as socketmod
 
@@ -1451,11 +1465,15 @@ def _serve_analyse(socket_path: str, process_sample) -> None:
             conn, _addr = srv.accept()
             # makefile() wrappers keep the socket alive past `conn`'s
             # close — close them explicitly so the peer sees EOF
+            conn.settimeout(30)  # a silent client must not wedge the
+            #                      service (request line only; cleared
+            #                      before the long-running pipeline)
             rfile = conn.makefile("r")
             wfile = conn.makefile("w")
             stop = False
             try:
                 line = rfile.readline()
+                conn.settimeout(None)
                 if line and line.strip() == "quit":
                     wfile.write("bye\n")
                     wfile.flush()
@@ -1478,6 +1496,8 @@ def _serve_analyse(socket_path: str, process_sample) -> None:
                             wfile.flush()
                         except OSError:
                             pass
+            except OSError:
+                pass  # client vanished mid-handshake: keep serving
             finally:
                 for h in (wfile, rfile):
                     try:
@@ -1497,12 +1517,16 @@ def _serve_analyse(socket_path: str, process_sample) -> None:
 
 def _parse_analyse_request(tokens):
     """Request tokens -> sample dicts (the socket-service mirror of the
-    CLI's repeated -1/-2/-t/-z/-o groups, cli._analyse_samples)."""
+    CLI's repeated -1/-2/-t/-z/-o groups; keep the flag table in sync
+    with the per-sample _SampleAction options in build_parser)."""
+    from .pipeline import PRESETS, TRYPTIC_PRESETS
+
     seq = []
     i = 0
     flags = {"-t": "type", "--type": "type", "-1": "first",
              "--first": "first", "-2": "second", "--second": "second",
              "-o": "output", "--output": "output"}
+    presets = set(PRESETS) | set(TRYPTIC_PRESETS)
     while i < len(tokens):
         tok = tokens[i]
         if tok in ("-z", "--compress"):
@@ -1511,7 +1535,12 @@ def _parse_analyse_request(tokens):
         elif tok in flags:
             if i + 1 >= len(tokens):
                 raise CliError(f"missing value for {tok}")
-            seq.append((flags[tok], tokens[i + 1]))
+            val = tokens[i + 1]
+            if flags[tok] == "type" and val not in presets:
+                raise CliError(
+                    f"unknown preset {val!r} (choose from "
+                    f"{', '.join(sorted(presets))})")
+            seq.append((flags[tok], val))
             i += 2
         else:
             raise CliError(f"unknown request token {tok!r}")

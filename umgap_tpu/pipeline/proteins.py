@@ -94,10 +94,13 @@ def encode_protein_groups(groups, ends: int, length: int):
 
 
 def analyse_protein_groups(groups, tax, table, config: PipelineConfig,
-                           batch_size: int = 1024, dtax=None, dtable=None):
+                           batch_size: int = 1024, dtax=None, dtable=None,
+                           analyser_cache=None):
     """FGSpp gene groups through the k-mer precision pipeline (exact:
     lane count and width bucket from the sample's maxima; overflow
-    re-routed). Yields (header, taxon) in order."""
+    re-routed). Yields (header, taxon) in order.  ``analyser_cache``
+    keeps the jitted programs hot across samples/requests with matching
+    shape buckets."""
     groups = list(groups)
     if not groups:
         return
@@ -108,9 +111,16 @@ def analyse_protein_groups(groups, tax, table, config: PipelineConfig,
     ends = 1 << (ends - 1).bit_length()
     width = 1 << (width - 1).bit_length()
     B = min(batch_size, 1 << max(1, (len(groups) - 1)).bit_length())
-    an = ProteinAnalyser(tax, table, config, batch_size=B,
-                         read_length=width, ends=ends,
-                         dtax=dtax, dtable=dtable)
+    key = (config, B, width, ends)
+    an = analyser_cache.get(key) if analyser_cache is not None else None
+    if an is None:
+        an = ProteinAnalyser(tax, table, config, batch_size=B,
+                             read_length=width, ends=ends,
+                             dtax=dtax, dtable=dtable)
+        if analyser_cache is not None:
+            analyser_cache[key] = an
+    else:
+        an.reset()
     for i in range(0, len(groups), B):
         chunk = groups[i : i + B]
         aa, lens = encode_protein_groups(chunk, ends, width)
@@ -156,7 +166,8 @@ def analyse_tryptic_protein_groups(groups, tax, table,
                                    config: PipelineConfig,
                                    batch_size: int = 1024,
                                    max_peptides: int = 128,
-                                   dtax=None, dtable=None):
+                                   dtax=None, dtable=None,
+                                   step_cache=None):
     """FGSpp gene groups through prot2tryp2lca + taxa2agg (host digest,
     device probe/aggregate). Yields (header, taxon) in order."""
     groups = list(groups)
@@ -166,7 +177,11 @@ def analyse_tryptic_protein_groups(groups, tax, table,
     dtable = dtable if dtable is not None else \
         lookup.DeviceTable.from_host(table)
     B = min(batch_size, 1 << max(1, (len(groups) - 1)).bit_length())
-    step = make_tryptic_pipeline(dtax, dtable, config, max_peptides)
+    step = step_cache.get(config) if step_cache is not None else None
+    if step is None:
+        step = make_tryptic_pipeline(dtax, dtable, config, max_peptides)
+        if step_cache is not None:
+            step_cache[config] = step
     for i in range(0, len(groups), B):
         chunk = groups[i : i + B]
         padded = chunk + [("", [])] * (B - len(chunk))

@@ -299,14 +299,19 @@ def analyse_tryptic_device(groups, tax, table, config: PipelineConfig,
 
 def analyse_tryptic_groups(groups, tax, table, config: PipelineConfig,
                            batch_size: int = 256, max_peptides: int = 128,
-                           dtax=None, dtable=None):
+                           dtax=None, dtable=None, step_cache=None):
     """Host digest + device probe/aggregate over read groups. Pass
-    prebuilt ``dtax``/``dtable`` to reuse device state across samples
-    (the CLI's cross-sample cache)."""
+    prebuilt ``dtax``/``dtable`` to reuse device state, and a
+    ``step_cache`` dict so the jitted probe/agg program survives across
+    samples/requests (a fresh jit closure per call would re-trace)."""
     dtax = dtax if dtax is not None else devagg.DeviceTaxonomy.from_host(tax)
     dtable = dtable if dtable is not None else \
         lookup.DeviceTable.from_host(table)
-    step = make_tryptic_pipeline(dtax, dtable, config, max_peptides)
+    step = step_cache.get(config) if step_cache is not None else None
+    if step is None:
+        step = make_tryptic_pipeline(dtax, dtable, config, max_peptides)
+        if step_cache is not None:
+            step_cache[config] = step
     groups = list(groups)
     out = []
     for i in range(0, len(groups), batch_size):
