@@ -16,7 +16,6 @@ depth-sum), closure weights via one-hot einsum contractions.
 
 from __future__ import annotations
 
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,6 @@ from typing import Dict, Iterable, List, Sequence, Tuple
 
 import numpy as np
 
-from .. import taxonomy as taxmod
 from ..taxonomy import NONE, Taxonomy
 from .rmq import RMQ
 

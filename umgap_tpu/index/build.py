@@ -19,7 +19,7 @@ from .. import ranks
 from ..agg.host import TreeMix, count as agg_count, AggError
 from ..ops import encoding, kmers
 from ..taxonomy import NONE, Taxonomy
-from .table import KmerTable, PeptideTable, build_kmer_table
+from .table import PeptideTable, build_kmer_table
 
 JOINKMERS_FACTOR = 0.95
 

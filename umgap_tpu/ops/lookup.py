@@ -20,8 +20,6 @@ import numpy as np
 
 from ..index.table import (
     BUCKET,
-    MASK20,
-    MASK25,
     _C1,
     _C2,
     _C3,

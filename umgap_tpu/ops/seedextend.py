@@ -23,7 +23,6 @@ from __future__ import annotations
 
 from typing import List, Optional, Sequence, Tuple
 
-import numpy as np
 
 from ..taxonomy import Taxonomy
 

@@ -26,8 +26,7 @@ global result equals the single-process run.
 
 from __future__ import annotations
 
-import os
-from typing import Iterable, List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence
 
 import numpy as np
 

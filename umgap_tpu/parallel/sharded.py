@@ -10,14 +10,13 @@ back. Reads stay data-parallel on the same mesh axis.
 
 from __future__ import annotations
 
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..index.table import KmerTable, build_kmer_table, hash32
+from ..index.table import build_kmer_table, hash32
 from ..ops import kmers as kmerops
 from ..ops import lookup
 

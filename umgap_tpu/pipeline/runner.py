@@ -13,7 +13,7 @@ the analogue of the reference's record-at-a-time pipes."""
 
 from __future__ import annotations
 
-from typing import Iterator, List, Optional, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 import numpy as np
 

@@ -15,7 +15,7 @@ File format parity: the 5-column taxon TSV (``id\\tname\\trank\\tparent\\t
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Callable, Iterable, Sequence
+from typing import Iterable, Sequence
 
 import numpy as np
 
