@@ -191,3 +191,71 @@ def test_protein_analyser_overflow_reroute():
     expect = dict(list(an2.feed([h for h, _ in groups], aa, lens))
                   + list(an2.finish()))
     assert got == expect
+
+
+def test_protein_pipeline_matches_cli_composition(tmp_path):
+    """The FGSpp k-mer protein pipeline vs the composed CLI commands
+    the reference pipes gene records through (umgap-analyse.sh:305-311:
+    prot2kmer2lca -o | seedextend | uniq -d / | taxa2agg): identical
+    per-read consensus taxa on random protein groups."""
+    from umgap_tpu.cli import main as cli_main
+    from umgap_tpu.pipeline import PRESETS
+    from umgap_tpu.pipeline.proteins import analyse_protein_groups
+    from umgap_tpu.taxonomy import Taxon, Taxonomy
+
+    rng = np.random.default_rng(47)
+    S = ranks.rank_index("superkingdom")
+    SP = ranks.rank_index("species")
+    taxa = [Taxon(1, "root", ranks.NO_RANK, 1, True),
+            Taxon(2, "Bacteria", S, 1, True)]
+    taxa += [Taxon(100 + i, f"sp{i}", SP, 2, True) for i in range(6)]
+    tax = Taxonomy(taxa)
+    taxfile = tmp_path / "t.tsv"
+    taxfile.write_text("".join(
+        f"{t.id}\t{t.name}\t{ranks.rank_name(t.rank)}\t{t.parent}\t\x01\n"
+        for t in taxa))
+
+    aas = list("ACDEFGHIKLMNPQRSTVWY")
+    prots = ["".join(rng.choice(aas, size=40)) for _ in range(24)]
+    # index ~70% of all 9-mers, values among the species
+    packed = np.unique(np.concatenate([
+        kmerops.pack_kmers_host(encoding.encode_aa(p), 9) for p in prots]))
+    keep = rng.random(len(packed)) < 0.7
+    packed = packed[keep]
+    values = rng.integers(100, 106, size=len(packed)).astype(np.int32)
+    from umgap_tpu.index.table import KmerTable
+
+    table = KmerTable.build(packed, values, k=9)
+    idxfile = tmp_path / "nine.npz"
+    table.save(idxfile)
+
+    # gene records: 2 genes per read, FGSpp-style suffixed headers
+    records = []
+    for i in range(12):
+        records.append((f"r{i}/1_1_99_+", prots[2 * i]))
+        records.append((f"r{i}/2_1_99_-", prots[2 * i + 1]))
+    cfg = PRESETS["high-precision"]
+
+    def run_cli(argv, stdin):
+        out = io.StringIO()
+        rc = cli_main(argv, stdin=io.StringIO(stdin), stdout=out)
+        assert rc == 0
+        return out.getvalue()
+
+    fasta_in = "".join(f">{h}\n{p}\n" for h, p in records)
+    s = run_cli(["prot2kmer2lca", "-o", str(idxfile)], fasta_in)
+    s = run_cli(["seedextend", f"-g{cfg.max_gap_size}",
+                 f"-s{cfg.min_seed_size}"], s)
+    s = run_cli(["uniq", "-d", "/"], s)
+    s = run_cli(["taxa2agg", "-l", str(int(cfg.lower_bound)),
+                 "-a", cfg.strategy, str(taxfile)], s)
+    cli_out = {}
+    for block in s.split(">")[1:]:
+        ls = block.splitlines()
+        cli_out[ls[0]] = int(ls[1])
+
+    from umgap_tpu.fgspp import group_genes
+
+    fused = dict(analyse_protein_groups(
+        group_genes(records), tax, table, cfg, batch_size=8))
+    assert fused == cli_out
