@@ -259,3 +259,71 @@ def test_protein_pipeline_matches_cli_composition(tmp_path):
     fused = dict(analyse_protein_groups(
         group_genes(records), tax, table, cfg, batch_size=8))
     assert fused == cli_out
+
+
+def test_tryptic_protein_pipeline_matches_cli_composition(tmp_path):
+    """The FGSpp tryptic protein path vs the composed CLI commands
+    (umgap-analyse.sh:289-298: prot2tryp2lca -l9 -L45 | uniq -d / |
+    taxa2agg -l1 -m rmq -a mrtl)."""
+    from umgap_tpu.cli import main as cli_main
+    from umgap_tpu.index.table import PeptideTable
+    from umgap_tpu.pipeline import TRYPTIC_PRESETS
+    from umgap_tpu.pipeline.proteins import analyse_tryptic_protein_groups
+    from umgap_tpu.taxonomy import Taxon, Taxonomy
+
+    rng = np.random.default_rng(53)
+    S = ranks.rank_index("superkingdom")
+    SP = ranks.rank_index("species")
+    taxa = [Taxon(1, "root", ranks.NO_RANK, 1, True),
+            Taxon(2, "Bacteria", S, 1, True)]
+    taxa += [Taxon(100 + i, f"sp{i}", SP, 2, True) for i in range(6)]
+    tax = Taxonomy(taxa)
+    taxfile = tmp_path / "t.tsv"
+    taxfile.write_text("".join(
+        f"{t.id}\t{t.name}\t{ranks.rank_name(t.rank)}\t{t.parent}\t\x01\n"
+        for t in taxa))
+
+    # K/R-rich proteins so the digest yields multiple 9-45aa fragments
+    aas = list("ACDEFGHILMNQSTVWY") + ["K", "R"] * 3
+    prots = ["".join(rng.choice(aas, size=60)) for _ in range(24)]
+    frags = set()
+    for p in prots:
+        for f in kmerops.tryptic_digest(p):
+            if 9 <= len(f) <= 45:
+                frags.add(f)
+    frags = sorted(frags)
+    keep = rng.random(len(frags)) < 0.8
+    frags = [f for f, k in zip(frags, keep) if k] or ["AAAAAAAAAK"]
+    values = rng.integers(100, 106, size=len(frags)).astype(np.int32)
+    ptable = PeptideTable.build(frags, values)
+    idxfile = tmp_path / "tryp.npz"
+    ptable.save(idxfile)
+
+    records = []
+    for i in range(12):
+        records.append((f"r{i}/1_1_99_+", prots[2 * i]))
+        records.append((f"r{i}/2_1_99_-", prots[2 * i + 1]))
+    cfg = TRYPTIC_PRESETS["tryptic-sensitivity"]
+
+    def run_cli(argv, stdin):
+        out = io.StringIO()
+        rc = cli_main(argv, stdin=io.StringIO(stdin), stdout=out)
+        assert rc == 0
+        return out.getvalue()
+
+    fasta_in = "".join(f">{h}\n{p}\n" for h, p in records)
+    s = run_cli(["prot2tryp2lca", "-l", "9", "-L", "45", str(idxfile)],
+                fasta_in)
+    s = run_cli(["uniq", "-d", "/"], s)
+    s = run_cli(["taxa2agg", "-l", str(int(cfg.lower_bound)),
+                 "-m", cfg.method, "-a", cfg.strategy, str(taxfile)], s)
+    cli_out = {}
+    for block in s.split(">")[1:]:
+        ls = block.splitlines()
+        cli_out[ls[0]] = int(ls[1])
+
+    from umgap_tpu.fgspp import group_genes
+
+    fused = dict(analyse_tryptic_protein_groups(
+        group_genes(records), tax, ptable, cfg, batch_size=8))
+    assert fused == cli_out
