@@ -59,3 +59,30 @@ def test_multiline_fastq(tmp_path):
     assert headers == ["r1", "r2"]
     assert encoding.decode_dna(codes[0, : lens[0]]) == "ACGT"
     assert encoding.decode_dna(codes[1, : lens[1]]) == "GGGG"
+
+
+def test_native_parser_fuzz_no_crash():
+    """Adversarial bytes through the native parsers: never crash, never
+    report more records than fit, headers always within the buffer."""
+    rng = np.random.default_rng(59)
+    corpus = []
+    for _ in range(300):
+        n = int(rng.integers(0, 400))
+        corpus.append(bytes(rng.integers(0, 256, size=n, dtype=np.uint8)))
+    # structured-ish mutations too
+    base = b"@r1\nACGT\n+\nIIII\n>f\nACGT\n"
+    for _ in range(300):
+        b = bytearray(base * int(rng.integers(1, 4)))
+        for _ in range(int(rng.integers(0, 6))):
+            b[int(rng.integers(0, len(b)))] = int(rng.integers(0, 256))
+        corpus.append(bytes(b))
+    for fn in ("umgap_parse_fastq", "umgap_parse_fasta"):
+        for data in corpus:
+            try:
+                headers, codes, lens, tmax = native._parse(
+                    fn, data, 64, 256)
+            except ValueError:
+                continue  # malformed: rejected, fine
+            assert len(headers) <= 256
+            assert (lens >= 0).all()
+            assert tmax >= (lens.max() if len(lens) else 0)
