@@ -344,3 +344,98 @@ long long umgap_join_kmers(const unsigned long long* keys,
 }
 
 }  // extern "C"
+
+// ------------------------------------------------------------------- //
+// Bucketized table placement (the build-time hot loop)
+// ------------------------------------------------------------------- //
+
+extern "C" {
+
+// Place keys into BUCKET-wide rows with bucket-level linear probing,
+// reproducing umgap_tpu.index.table._insert_bucketized EXACTLY (same
+// slot for every key, so artifacts stay byte-identical to the numpy
+// path): per round, pending keys are stably ordered by target bucket,
+// the first (bucket - occupancy) of each group fill consecutive slots,
+// the rest carry to the next round in that sorted order.
+//
+//   bucket0      : n int64 home buckets (0 <= b < cap/bucket)
+//   p0,p1,p2     : n int32 payload columns (p1/p2 may be NULL)
+//   out0..out2   : cap int32 outputs, prefilled by the caller
+//                  (out0 = EMPTY, others = 0)
+//   tag_distance : OR p0 with min(r,1)<<30 at placement round r
+//   max_round    : stop probing after this round (-1 = unlimited)
+//   leftover     : n int64 buffer for unplaced ORIGINAL indices
+//   max_probes   : out, deepest round that placed a key
+//   returns      : leftover count, or -1 (capacity exhausted)
+long umgap_insert_bucketized(
+        const long long* bucket0, long long n,
+        const int32_t* p0, const int32_t* p1, const int32_t* p2,
+        long long cap, int bucket, int max_round, int tag_distance,
+        int32_t* out0, int32_t* out1, int32_t* out2,
+        long long* leftover, int* max_probes) {
+    const long long n_buckets = cap / bucket > 0 ? cap / bucket : 1;
+    std::vector<int32_t> occupancy((size_t)n_buckets, 0);
+    std::vector<long long> pending((size_t)n);
+    for (long long i = 0; i < n; i++) pending[(size_t)i] = i;
+    std::vector<long long> counts((size_t)n_buckets + 1, 0);
+    std::vector<long long> sorted(pending.size());
+    std::vector<long long> next;
+    *max_probes = 0;
+    long long r = 0;
+    while (!pending.empty()) {
+        if (max_round >= 0 && r > max_round) break;
+        if (r > n_buckets) return -1;
+        // stable counting sort of pending by target bucket
+        std::fill(counts.begin(), counts.end(), 0);
+        for (long long idx : pending) {
+            long long b = (bucket0[idx] + r) % n_buckets;
+            counts[(size_t)b + 1]++;
+        }
+        for (size_t b = 1; b < counts.size(); b++) counts[b] += counts[b - 1];
+        sorted.resize(pending.size());
+        {
+            std::vector<long long> cursor(counts.begin(), counts.end() - 1);
+            for (long long idx : pending) {
+                long long b = (bucket0[idx] + r) % n_buckets;
+                sorted[(size_t)cursor[(size_t)b]++] = idx;
+            }
+        }
+        // place the first free-slot-count keys of each bucket group
+        next.clear();
+        bool placed_any = false;
+        size_t pos = 0;
+        while (pos < sorted.size()) {
+            long long b = (bucket0[sorted[pos]] + r) % n_buckets;
+            size_t end = (size_t)counts[(size_t)b + 1];
+            int32_t occ = occupancy[(size_t)b];
+            int32_t free_slots = bucket - occ;
+            int32_t rank = 0;
+            for (size_t j = pos; j < end; j++, rank++) {
+                long long idx = sorted[j];
+                if (rank < free_slots) {
+                    long long slot = b * bucket + occ + rank;
+                    int32_t v0 = p0[idx];
+                    if (tag_distance && r > 0) v0 |= (int32_t)(1 << 30);
+                    out0[slot] = v0;
+                    if (p1) out1[slot] = p1[idx];
+                    if (p2) out2[slot] = p2[idx];
+                    placed_any = true;
+                } else {
+                    next.push_back(idx);
+                }
+            }
+            if (free_slots > 0) {
+                int32_t put = rank < free_slots ? rank : free_slots;
+                occupancy[(size_t)b] = occ + put;
+            }
+            pos = end;
+        }
+        if (placed_any && r > *max_probes) *max_probes = (int)r;
+        pending.swap(next);
+        r++;
+    }
+    for (size_t i = 0; i < pending.size(); i++) leftover[i] = pending[i];
+    return (long long)pending.size();
+}
+
+}  // extern "C"

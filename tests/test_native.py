@@ -86,3 +86,50 @@ def test_native_parser_fuzz_no_crash():
             assert len(headers) <= 256
             assert (lens >= 0).all()
             assert tmax >= (lens.max() if len(lens) else 0)
+
+
+def test_insert_bucketized_native_matches_numpy():
+    """The native placement must be SLOT-IDENTICAL to the numpy oracle
+    (artifact byte-parity depends on it): single-round with stash
+    (bucket8s), 2-round distance-tagged (bucket16), unlimited-round
+    dense, and the 3-payload peptide shape."""
+    from umgap_tpu.index.table import _insert_bucketized
+
+    rng = np.random.default_rng(61)
+    cases = [
+        # (n, cap, bucket, tag, max_round)
+        (20000, 32768, 8, True, 0),      # bucket8s: 1 round + leftover
+        (30000, 65536, 16, True, 1),     # bucket16: 2 rounds
+        (20000, 24576, 8, True, None),   # dense: many rounds
+        (15000, 32768, 8, False, 0),     # peptide-style, no tag
+    ]
+    for n, cap, bucket, tag, max_round in cases:
+        nb = cap // bucket
+        bucket0 = rng.integers(0, nb, size=n).astype(np.int64)
+        p0 = rng.integers(0, 1 << 29, size=n).astype(np.int32)
+        p1 = rng.integers(0, 1 << 30, size=n).astype(np.int32)
+        p2 = rng.integers(0, 1 << 30, size=n).astype(np.int32)
+        payloads = [p0, p1] if tag else [p0, p1, p2]
+        a_outs, a_mp, a_left = _insert_bucketized(
+            bucket0, payloads, cap, tag_distance=tag, bucket=bucket,
+            max_round=max_round, use_native=False)
+        b_outs, b_mp, b_left = _insert_bucketized(
+            bucket0, payloads, cap, tag_distance=tag, bucket=bucket,
+            max_round=max_round, use_native=True)
+        assert a_mp == b_mp, (n, cap, bucket)
+        assert list(a_left) == list(b_left)
+        for ao, bo in zip(a_outs, b_outs):
+            assert (ao == bo).all(), (n, cap, bucket, tag, max_round)
+
+
+def test_insert_bucketized_capacity_exhausted_matches():
+    from umgap_tpu.index.table import _insert_bucketized
+
+    rng = np.random.default_rng(67)
+    n, cap, bucket = 9000, 8192, 8  # > capacity: must raise in both
+    bucket0 = rng.integers(0, cap // bucket, size=n).astype(np.int64)
+    p0 = rng.integers(0, 1 << 29, size=n).astype(np.int32)
+    for use_native in (False, True):
+        with pytest.raises(RuntimeError):
+            _insert_bucketized(bucket0, [p0], cap, bucket=bucket,
+                               max_round=None, use_native=use_native)

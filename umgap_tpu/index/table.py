@@ -157,7 +157,8 @@ def _fingerprints(peptides):
 
 def _insert_bucketized(bucket0: np.ndarray, payloads, cap: int,
                        tag_distance: bool = False, bucket: int = BUCKET,
-                       max_round: int | None = None):
+                       max_round: int | None = None,
+                       use_native: bool = True):
     """Place keys into BUCKET-wide rows with bucket-level linear probing.
 
     ``payloads``: list of (n,) int32 arrays; each gets a (cap,) output
@@ -165,7 +166,20 @@ def _insert_bucketized(bucket0: np.ndarray, payloads, cap: int,
     ``tag_distance``, the first payload is OR-ed with ``r << 30`` at
     placement round r (quotient disambiguation). With ``max_round``,
     keys still unplaced after that round are returned instead of probed
-    further. Returns (outputs, max_probes, leftover_indices)."""
+    further. Returns (outputs, max_probes, leftover_indices).
+
+    With ``use_native`` (default) and the C++ runtime available, the
+    placement runs in native/umgap_native.cpp — SLOT-IDENTICAL to the
+    numpy path below (equality-tested), which remains the portable
+    fallback and the oracle."""
+    if use_native and len(payloads) <= 3 and len(bucket0) >= 4096:
+        try:
+            from ..io.native import insert_bucketized_native
+
+            return insert_bucketized_native(bucket0, payloads, cap,
+                                            tag_distance, bucket, max_round)
+        except (RuntimeError, OSError):
+            pass  # toolchain unavailable: numpy path below
     n = len(bucket0)
     n_buckets = max(cap // bucket, 1)
     outs = [np.full(cap, EMPTY if i == 0 else 0, dtype=np.int32)

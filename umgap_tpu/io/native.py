@@ -57,6 +57,17 @@ def ensure_built(quiet: bool = True) -> bool:
         ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_int32),
         ctypes.c_long,
     ]
+    if hasattr(lib, "umgap_insert_bucketized"):
+        lib.umgap_insert_bucketized.restype = ctypes.c_longlong
+        lib.umgap_insert_bucketized.argtypes = [
+            ctypes.POINTER(ctypes.c_longlong), ctypes.c_longlong,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_longlong, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_longlong), ctypes.POINTER(ctypes.c_int),
+        ]
     if hasattr(lib, "umgap_join_kmers"):
         lib.umgap_join_kmers.restype = ctypes.c_longlong
         lib.umgap_join_kmers.argtypes = [
@@ -103,6 +114,46 @@ def join_kmers_native(keys: np.ndarray, snapped: np.ndarray,
         out_vals.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
     )
     return out_keys[:n], out_vals[:n]
+
+
+def insert_bucketized_native(bucket0: np.ndarray, payloads, cap: int,
+                             tag_distance: bool, bucket: int,
+                             max_round):
+    """Native bucketized placement, slot-identical to the numpy
+    reference implementation (index.table._insert_bucketized).
+    Returns (outs, max_probes, leftover_indices)."""
+    if not available() or not hasattr(_lib, "umgap_insert_bucketized"):
+        raise RuntimeError("native insert unavailable")
+    from ..index.table import EMPTY
+
+    n = len(bucket0)
+    bucket0 = np.ascontiguousarray(bucket0, dtype=np.int64)
+    ps = [np.ascontiguousarray(p, dtype=np.int32) for p in payloads]
+    if not 1 <= len(ps) <= 3:
+        raise ValueError("1-3 payload columns supported")
+    outs = [np.full(cap, EMPTY if i == 0 else 0, dtype=np.int32)
+            for i in range(len(ps))]
+    leftover = np.zeros(max(n, 1), dtype=np.int64)
+    max_probes = ctypes.c_int(0)
+    I32P = ctypes.POINTER(ctypes.c_int32)
+
+    def p32(a):
+        return a.ctypes.data_as(I32P) if a is not None else None
+
+    pin = ps + [None] * (3 - len(ps))
+    pout = outs + [None] * (3 - len(outs))
+    rc = _lib.umgap_insert_bucketized(
+        bucket0.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)), n,
+        p32(pin[0]), p32(pin[1]), p32(pin[2]),
+        cap, bucket, -1 if max_round is None else int(max_round),
+        1 if tag_distance else 0,
+        p32(pout[0]), p32(pout[1]), p32(pout[2]),
+        leftover.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+        ctypes.byref(max_probes),
+    )
+    if rc < 0:
+        raise RuntimeError("table capacity exhausted")
+    return outs, int(max_probes.value), leftover[:rc]
 
 
 def available() -> bool:
