@@ -284,7 +284,10 @@ def task_build(workdir: str, manifest: dict, shard: int) -> None:
                             k=manifest["k"], bucket=bucket,
                             max_probe_limit=probes, stash_cap=256,
                             capacity=cap)
-    table.save(os.path.join(shards_dir, f"shard_{shard:03d}.npz"))
+    # uncompressed: serving loads these straight into HBM — zlib would
+    # dominate both this save and every serve-time load
+    table.save(os.path.join(shards_dir, f"shard_{shard:03d}.npz"),
+               compress=False)
     _mark(stamp)
 
 

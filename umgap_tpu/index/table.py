@@ -402,8 +402,12 @@ class KmerTable:
 
     # -- serialization -------------------------------------------------- #
 
-    def save(self, path):
-        np.savez_compressed(
+    def save(self, path, compress: bool = True):
+        """``compress=False`` trades ~3.5x disk for ~10x faster save AND
+        load (zlib dominates both at shard scale) — what the distributed
+        build uses for serving artifacts."""
+        saver = np.savez_compressed if compress else np.savez
+        saver(
             path,
             kind=np.bytes_(self.kind),
             rem=self.rem,
