@@ -772,7 +772,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--task", default=None,
                     choices=["partition", "join", "build"],
                     help=argparse.SUPPRESS)
-    sp.add_argument("--index", type=int, default=0, help=argparse.SUPPRESS)
+    sp.add_argument("--index", default="0", help=argparse.SUPPRESS)
     sp.add_argument("--join-threads", type=int, default=1,
                     help=argparse.SUPPRESS)
     sp.set_defaults(func=cmd_buildindex_dist)

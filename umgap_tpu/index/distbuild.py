@@ -176,7 +176,7 @@ def task_partition(workdir: str, manifest: dict, chunk: int) -> None:
 
 
 def task_join(workdir: str, manifest: dict, shard: int,
-              n_threads: int = 1) -> None:
+              n_threads: int = 1, tax=None) -> None:
     from ..taxonomy import read_taxa_file, Taxonomy
     from .scale import join_kmers_sorted
 
@@ -201,7 +201,8 @@ def task_join(workdir: str, manifest: dict, shard: int,
     order = np.argsort(packed, kind="stable")
     packed = packed[order]
     tid = tid[order]
-    tax = Taxonomy(read_taxa_file(manifest["taxons"]))
+    if tax is None:
+        tax = Taxonomy(read_taxa_file(manifest["taxons"]))
     out_keys, out_vals = join_kmers_sorted(packed, tid, tax,
                                            n_threads=n_threads)
     _save_atomic(os.path.join(joined, f"s{shard:03d}.npz"),
@@ -295,43 +296,56 @@ def task_build(workdir: str, manifest: dict, shard: int) -> None:
 # Supervisor
 # ---------------------------------------------------------------------- #
 
-def _spawn(workdir: str, task: str, index: int, threads: int = 1):
+def _spawn(workdir: str, task: str, indexes: List[int], threads: int = 1):
     return subprocess.Popen(
         [sys.executable, "-m", "umgap_tpu", "buildindex-dist",
-         "--workdir", workdir, "--task", task, "--index", str(index),
+         "--workdir", workdir, "--task", task,
+         "--index", ",".join(str(i) for i in indexes),
          "--join-threads", str(threads)],
         env=dict(os.environ, JAX_PLATFORMS="cpu"))
 
 
 def _run_stage(workdir: str, task: str, pending: List[int],
-               workers: int, threads: int = 1) -> List[int]:
-    """Run tasks across worker subprocesses; returns indexes that
-    FAILED (worker died or errored) — the stage keeps going for the
-    rest, and a resume re-run retries only the failures."""
+               workers: int, threads: int = 1) -> List[Tuple[int, int]]:
+    """Run tasks across worker subprocesses — each worker handles a
+    strided SLICE of tasks in one process (a fresh interpreter per task
+    would pay the Python+jax import ~1-2s x tasks).  Returns (index,
+    exit-code) pairs for failed slices (reported per-slice; .done
+    markers keep resume granularity per-task)."""
     from ..utils import log
 
-    running: dict = {}
+    slices = [pending[w::workers] for w in range(workers)]
+    slices = [s for s in slices if s]
+    running = {tuple(s): _spawn(workdir, task, s, threads) for s in slices}
     failed: List[Tuple[int, int]] = []
-    queue = list(pending)
-    while queue or running:
-        while queue and len(running) < workers:
-            idx = queue.pop(0)
-            running[idx] = _spawn(workdir, task, idx, threads)
-        done_idx = None
-        for idx, proc in running.items():
+    while running:
+        done_key = None
+        for key, proc in running.items():
             rc = proc.poll()
             if rc is not None:
-                done_idx = idx
+                done_key = key
                 if rc != 0:
-                    log(f"buildindex-dist: {task} task {idx} failed "
-                        f"(exit {rc}); will retry on resume")
-                    failed.append((idx, rc))
+                    log(f"buildindex-dist: {task} worker for tasks "
+                        f"{list(key)[:6]}... failed (exit {rc}); "
+                        "finished tasks are checkpointed, re-run to "
+                        "resume the rest")
+                    failed.extend((i, rc) for i in key
+                                  if not _is_done(_task_stamp(
+                                      workdir, task, i)))
                 break
-        if done_idx is not None:
-            running.pop(done_idx)
+        if done_key is not None:
+            running.pop(done_key)
         else:
             time.sleep(0.05)
     return failed
+
+
+def _task_stamp(workdir: str, task: str, index: int) -> str:
+    if task == "partition":
+        return os.path.join(workdir, "part", f"c{index:05d}")
+    if task == "join":
+        return os.path.join(workdir, "joined", f"s{index:03d}")
+    return os.path.join(workdir, "shards", f"shard_{index:03d}")
 
 
 def drive(workdir: str, tsv: Optional[str], taxons: Optional[str],
@@ -444,19 +458,31 @@ def load_shards(workdir: str):
             for s in range(manifest["n_shards"])]
 
 
-def worker_main(workdir: str, task: str, index: int,
-                join_threads: int = 1) -> None:
+def worker_main(workdir: str, task: str, indexes, join_threads: int = 1) -> None:
+    """Run one or more tasks (comma-separated indexes) in this process;
+    expensive per-process state (the taxonomy) loads once."""
     with open(os.path.join(workdir, "manifest.json")) as f:
         manifest = json.load(f)
-    if task == "partition":
-        task_partition(workdir, manifest, index)
-    elif task == "join":
-        task_join(workdir, manifest, index, n_threads=join_threads)
-    elif task == "build":
-        try:
-            task_build(workdir, manifest, index)
-        except RuntimeError:
-            sys.exit(3)  # stash overflow at the common capacity:
-            #              the driver doubles it and rebuilds
-    else:
-        raise ValueError(f"unknown task {task}")
+    if isinstance(indexes, int):
+        indexes = [indexes]
+    elif isinstance(indexes, str):
+        indexes = [int(x) for x in indexes.split(",") if x != ""]
+    tax = None
+    for index in indexes:
+        if task == "partition":
+            task_partition(workdir, manifest, index)
+        elif task == "join":
+            if tax is None:
+                from ..taxonomy import Taxonomy, read_taxa_file
+
+                tax = Taxonomy(read_taxa_file(manifest["taxons"]))
+            task_join(workdir, manifest, index, n_threads=join_threads,
+                      tax=tax)
+        elif task == "build":
+            try:
+                task_build(workdir, manifest, index)
+            except RuntimeError:
+                sys.exit(3)  # stash overflow at the common capacity:
+                #              the driver doubles it and rebuilds
+        else:
+            raise ValueError(f"unknown task {task}")
