@@ -198,9 +198,19 @@ def task_join(workdir: str, manifest: dict, shard: int,
     else:
         packed = np.zeros(0, np.uint64)
         tid = np.zeros(0, np.int64)
-    order = np.argsort(packed, kind="stable")
-    packed = packed[order]
-    tid = tid[order]
+    # sort rows by key (grouping only needs adjacency; within-key order
+    # is irrelevant to the aggregation, so the faster unstable native
+    # pair sort is exact)
+    try:
+        from ..io.native import sort_rows_native
+
+        packed = np.ascontiguousarray(packed)
+        tid = np.ascontiguousarray(tid)
+        sort_rows_native(packed, tid)
+    except (RuntimeError, OSError):
+        order = np.argsort(packed, kind="stable")
+        packed = packed[order]
+        tid = tid[order]
     if tax is None:
         tax = Taxonomy(read_taxa_file(manifest["taxons"]))
     out_keys, out_vals = join_kmers_sorted(packed, tid, tax,

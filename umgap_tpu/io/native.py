@@ -68,6 +68,12 @@ def ensure_built(quiet: bool = True) -> bool:
             ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_longlong), ctypes.POINTER(ctypes.c_int),
         ]
+    if hasattr(lib, "umgap_sort_rows"):
+        lib.umgap_sort_rows.restype = None
+        lib.umgap_sort_rows.argtypes = [
+            ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_longlong,
+        ]
     if hasattr(lib, "umgap_join_kmers"):
         lib.umgap_join_kmers.restype = ctypes.c_longlong
         lib.umgap_join_kmers.argtypes = [
@@ -114,6 +120,18 @@ def join_kmers_native(keys: np.ndarray, snapped: np.ndarray,
         out_vals.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
     )
     return out_keys[:n], out_vals[:n]
+
+
+def sort_rows_native(keys: np.ndarray, tids: np.ndarray) -> None:
+    """In-place (key, tid) sort by key (unstable; within-key order is
+    irrelevant to the grouped join)."""
+    if not available() or not hasattr(_lib, "umgap_sort_rows"):
+        raise RuntimeError("native sort unavailable")
+    assert keys.flags["C_CONTIGUOUS"] and tids.flags["C_CONTIGUOUS"]
+    _lib.umgap_sort_rows(
+        keys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        tids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(keys))
 
 
 def insert_bucketized_native(bucket0: np.ndarray, payloads, cap: int,
