@@ -127,3 +127,42 @@ def test_filter_lower_bound():
     v = jnp.asarray([[True, True, False]])
     kept = np.asarray(dev.filter_lower_bound(c, v, 2.0))
     assert kept.tolist() == [[True, False, False]]
+
+
+def test_rmq_lca_filtered_first_slot_with_taxon_zero():
+    """Regression: a lower-bound-filtered slot 0 plus a REAL taxon id 0
+    in the taxonomy must not corrupt the rmq/lca* walk (the seed is now
+    the first VALID slot)."""
+    from umgap_tpu import ranks
+    from umgap_tpu.agg.device_rmq import DeviceEuler, rmq_lca_batch
+    from umgap_tpu.agg.host import RmqLCA, count
+    from umgap_tpu.taxonomy import Taxon, Taxonomy
+
+    S = ranks.rank_index("superkingdom")
+    taxa = [
+        Taxon(0, "zero", S, 1, True),
+        Taxon(1, "root", ranks.NO_RANK, 1, True),
+        Taxon(2, "B", S, 1, True),
+        Taxon(3, "c", S, 2, True),
+        Taxon(4, "d", S, 2, True),
+    ]
+    tax = Taxonomy(taxa)
+    euler = DeviceEuler.from_host(tax)
+
+    # hits {3: 1, 4: 2}, lower_bound 2 -> slot 0 (taxon 3) filtered
+    utaxa = np.array([[3, 4]], np.int32)
+    ucounts = np.array([[1.0, 2.0]], np.float32)
+    uvalid = ucounts >= 2.0
+    got = int(np.asarray(rmq_lca_batch(euler, utaxa, uvalid))[0])
+    expect = RmqLCA(tax).aggregate(count(iter([(4, 1.0)])))
+    assert got == expect == 4
+
+
+def test_pack_windows_shorter_than_k():
+    """Peptide axis shorter than k: no crash, no valid windows."""
+    from umgap_tpu.ops import kmers as kmerops
+
+    aa = jnp.zeros((2, 5), jnp.uint8)
+    plens = jnp.array([5, 3], jnp.int32)
+    hi, lo, valid = kmerops.pack_windows_batch(aa, plens, 9)
+    assert not bool(np.asarray(valid).any())

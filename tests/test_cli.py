@@ -325,3 +325,15 @@ def test_end_to_end_index_build(taxfile, tmp_path):
     rc, out = run(["pept2lca", idx], ">h\nAAAAA\nAAAAB\nZZZZZ\n")
     # AAAAA seen in both 185751 and 185752 -> LCA-ish 12884
     assert out == ">h\n12884\n185751\n"
+
+
+def test_buildindex_rejects_duplicate_keys():
+    """Duplicate keys would corrupt the device probe's multi-slot
+    select; the reference's FST builder rejects them too."""
+    import io as iomod
+
+    out = iomod.StringIO()
+    rc = main(["buildindex"],
+                  stdin=iomod.StringIO("AAAAAAAAA\t2\nAAAAAAAAA\t3\n"),
+                  stdout=out)
+    assert rc == 1

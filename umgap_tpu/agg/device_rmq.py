@@ -124,8 +124,14 @@ def rmq_lca_batch(euler: DeviceEuler, utaxa, uvalid):
     size = euler.first.shape[0]
     safe = jnp.where(uvalid, jnp.clip(utaxa, 0, size - 1), 0)
     occ = jnp.take(euler.first, safe, axis=0)  # (B, K)
-    # initial consensus: first valid slot (slot 0 when any valid)
-    consensus = occ[:, 0]
+    occ = jnp.maximum(occ, 0)  # absent taxa: clamp (result is masked)
+    # initial consensus: the first VALID slot — slot 0 may have been
+    # filtered (e.g. lower_bound), and taxon id 0 can be a REAL taxon,
+    # so seeding blindly from occ[:, 0] would walk a filtered hit.
+    # (The seed slot re-appears in the scan; joining a node with itself
+    # is a no-op, so no double-count.)
+    first_valid = jnp.argmax(uvalid, axis=-1)
+    consensus = jnp.take_along_axis(occ, first_valid[:, None], axis=1)[:, 0]
     join_level = jnp.full((B,), -1, jnp.int32)  # -1 = None
 
     def step(carry, inputs):

@@ -10,7 +10,9 @@ HashMap iteration order — explicitly accepted in its tests, e.g.
 /root/reference/src/rmq/rtl.rs:89-92), we use a deterministic tie-break:
 highest score, then greatest depth, then smallest taxon id. Where results
 depend on HashMap *iteration* order (the rmq-lca join-level walk,
-/root/reference/src/rmq/lca.rs:60-90), we use input first-seen order.
+/root/reference/src/rmq/lca.rs:60-90), we visit hits in ascending
+taxon-id order (the documented pin; see RmqLCA.aggregate and the
+device walk in agg/device_rmq.py, which must agree).
 
 Counts are accumulated in float32 to match the reference's f32 sums.
 """

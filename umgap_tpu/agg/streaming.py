@@ -61,6 +61,10 @@ class RankAggregator:
         """Nearest ranked strict ancestor (root maps to itself)."""
         if tid == self.tax.root:
             return tid
+        if tid == NONE or not (0 <= tid < self.tax.size):
+            # a NONE from an unreachable taxon must not wrap into
+            # parent[-1] and walk an unrelated chain
+            raise ValueError(f"taxon {tid} has no ranked ancestor chain")
         return int(self._snap[int(self.tax.parent[tid])])
 
     def _raise_to_rank(self, tid: int, target: int) -> int:

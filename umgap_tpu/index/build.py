@@ -123,6 +123,11 @@ def build_table(rows: Iterable[Tuple[str, int]], kind: str = "auto"):
     for key, v in rows:
         keys.append(key)
         values.append(int(v))
+    if len(set(keys)) != len(keys):
+        # table probes assume unique keys (a duplicate would land two
+        # matching slots in one bucket and corrupt the device lookup);
+        # the reference's FST builder rejects duplicates too
+        raise ValueError("duplicate keys in index input")
     vals = np.asarray(values, dtype=np.int32)
     if kind == "auto":
         lens = {len(s) for s in keys}

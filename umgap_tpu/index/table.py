@@ -290,7 +290,11 @@ class KmerTable:
         the probe-distance limit (roughly 2x capacity vs 8-slot).
         Overflow beyond the limit lands in the stash (up to
         ``stash_cap`` keys); the table only grows when the stash would
-        overflow too."""
+        overflow too.
+
+        ``packed`` keys MUST be unique (joinkmers output is; the CLI
+        buildindex path validates): a duplicate key would match two
+        slots of one bucket and corrupt the device probe's select."""
         packed = packed.astype(np.uint64)
         values = np.asarray(values, dtype=np.int32)
         hi, lo = kmers.split_packed(packed)

@@ -87,6 +87,12 @@ def pack_windows_batch(aa: jax.Array, pep_lengths: jax.Array, k: int = DEFAULT_K
     if k > 10:
         raise ValueError("k must be <= 10")
     P = aa.shape[-1]
+    if P < k:
+        # pad so the strided slices stay in range; every window is
+        # invalid anyway (peptides shorter than k yield no k-mers)
+        pad = [(0, 0)] * (aa.ndim - 1) + [(0, k - P)]
+        aa = jnp.pad(aa, pad)
+        P = k
     W = max(P - k + 1, 1)
     n_lo = min(k, 5)
     n_hi = k - n_lo

@@ -20,9 +20,6 @@ import numpy as np
 
 from ..index.table import (
     BUCKET,
-    _C1,
-    _C2,
-    _C3,
     mix_key,
     mix_key2,
 )
@@ -107,12 +104,10 @@ def pack_rows(table) -> np.ndarray:
     ).astype(np.int32)
 
 
-def hash32_device(hi: jax.Array, lo: jax.Array) -> jax.Array:
-    h = (hi.astype(jnp.uint32) * _C1) ^ (lo.astype(jnp.uint32) * _C2)
-    h = h ^ (h >> 16)
-    h = h * _C3
-    h = h ^ (h >> 13)
-    return h
+# index.table.hash32 is dtype-generic (numpy scalar constants broadcast
+# over jax arrays) — one definition serves host and device, so the
+# build-time and probe-time bucket hashes can never drift apart.
+from ..index.table import hash32 as hash32_device  # noqa: E402 isort:skip
 
 
 def probe(table: DeviceTable, hi: jax.Array, lo: jax.Array,
