@@ -66,10 +66,15 @@ def discover_version(configdir: str, tryptic: bool = False,
         return None
 
     def sort_key(name: str):
-        try:
-            return (0, float(name), name)
-        except ValueError:
-            return (1, 0.0, name)
+        # GNU `sort -n` semantics (the reference shell sorts candidates
+        # that way): the LEADING numeric prefix orders ('2020-12-07' ->
+        # 2020); entries without one count as 0 and sort FIRST, with
+        # byte order as the last resort — so numeric versions beat
+        # stray non-numeric directories, as in the reference.
+        import re
+
+        m = re.match(r"\s*[+-]?\d+\.?\d*", name)
+        return (float(m.group(0)) if m else 0.0, name)
 
     version = None
     for candidate in sorted(os.listdir(configdir), key=sort_key):
@@ -126,7 +131,9 @@ def install(configdir: str, datadir: str, version: str,
         link = os.path.join(configdir, version, name)
         if os.path.islink(link) or os.path.exists(link):
             os.unlink(link)
-        os.symlink(dst, link)
+        # absolute target: a relative --datadir would otherwise resolve
+        # relative to the LINK's directory and dangle
+        os.symlink(os.path.abspath(dst), link)
 
 
 def sniff_open(path: str, mode: str = "rt"):

@@ -131,7 +131,9 @@ def build_table(rows: Iterable[Tuple[str, int]], kind: str = "auto"):
     vals = np.asarray(values, dtype=np.int32)
     if kind == "auto":
         lens = {len(s) for s in keys}
-        kind = "kmer" if len(lens) == 1 and keys and max(lens) <= 10 else "peptide"
+        # exact quotient tables hold <= 45-bit (9 x 5-bit) keys; longer
+        # uniform keys route to the fingerprint table
+        kind = "kmer" if len(lens) == 1 and keys and max(lens) <= 9 else "peptide"
     if kind == "kmer":
         if not keys:
             return build_kmer_table(np.zeros(0, np.uint64), vals, k=kmers.DEFAULT_K)

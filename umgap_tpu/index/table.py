@@ -139,15 +139,54 @@ def fingerprint_host(codes: np.ndarray) -> tuple[np.uint32, np.uint32]:
     return h1, h2
 
 
-def _fingerprints(peptides):
+def fingerprints_matrix(codes: np.ndarray, lengths: np.ndarray):
+    """Vectorized :func:`fingerprint_host` over padded AA-code rows —
+    O(max_len) numpy passes instead of a per-character Python loop."""
+    n, L = codes.shape
+    h1 = np.full(n, _FNV_OFFSET, dtype=np.uint32)
+    h2 = np.full(n, _FNV_OFFSET2, dtype=np.uint32)
+    with np.errstate(over="ignore"):
+        for j in range(L):
+            live = j < lengths
+            c = codes[:, j].astype(np.uint32)
+            h1 = np.where(live, (h1 ^ c) * _FNV_PRIME, h1)
+            h2 = np.where(live, (h2 ^ (c + np.uint32(0x9E37))) * _FNV_PRIME,
+                          h2)
+    h1 = np.where(h1 == np.uint32(0xFFFFFFFF), np.uint32(0), h1)
+    return h1.astype(np.int32), h2.astype(np.int32)
+
+
+def _fingerprints(peptides, chunk: int = 2_000_000):
+    """Fingerprint many peptides (strings or code arrays), vectorized:
+    one blob encode + a padded-matrix FNV, chunked to bound the padded
+    allocation (real tryptic indexes hold tens of millions of keys)."""
     n = len(peptides)
     hi = np.zeros(n, dtype=np.int32)
     lo = np.zeros(n, dtype=np.int32)
-    for i, p in enumerate(peptides):
-        codes = encoding.encode_aa(p) if isinstance(p, (str, bytes)) else p
-        h1, h2 = fingerprint_host(codes)
-        hi[i] = np.int32(h1)
-        lo[i] = np.int32(h2)
+    for s in range(0, n, chunk):
+        part = peptides[s : s + chunk]
+        if part and isinstance(part[0], (str, bytes)):
+            blob = "".join(p if isinstance(p, str) else p.decode()
+                           for p in part)
+            codes = encoding.encode_aa(blob)
+            lens = np.fromiter((len(p) for p in part), np.int64,
+                               count=len(part))
+        else:
+            arrs = [np.asarray(p, dtype=np.uint8) for p in part]
+            codes = (np.concatenate(arrs) if arrs
+                     else np.zeros(0, np.uint8))
+            lens = np.fromiter((len(a) for a in arrs), np.int64,
+                               count=len(arrs))
+        L = int(lens.max()) if len(lens) and lens.max() > 0 else 1
+        mat = np.zeros((len(part), L), dtype=np.uint8)
+        if len(codes):
+            starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            rows = np.repeat(np.arange(len(part)), lens)
+            cols = np.arange(len(codes)) - np.repeat(starts, lens)
+            mat[rows, cols] = codes
+        h1, h2 = fingerprints_matrix(mat, lens)
+        hi[s : s + len(part)] = h1
+        lo[s : s + len(part)] = h2
     return hi, lo
 
 
@@ -295,6 +334,12 @@ class KmerTable:
         ``packed`` keys MUST be unique (joinkmers output is; the CLI
         buildindex path validates): a duplicate key would match two
         slots of one bucket and corrupt the device probe's select."""
+        if k > 9:
+            # the quotient math is exact for 45-bit (<= 9 x 5-bit) keys;
+            # a 10-mer's 50 bits would silently truncate and alias —
+            # longer keys belong in the fingerprint PeptideTable
+            raise TableGeometryError(
+                "exact quotient k-mer tables support k <= 9")
         packed = packed.astype(np.uint64)
         values = np.asarray(values, dtype=np.int32)
         hi, lo = kmers.split_packed(packed)
@@ -492,6 +537,9 @@ class CuckooKmerTable:
     def build(cls, packed: np.ndarray, values: np.ndarray, k: int,
               load_factor: float = 0.4,
               capacity: int | None = None) -> "CuckooKmerTable":
+        if k > 9:
+            raise TableGeometryError(
+                "exact quotient k-mer tables support k <= 9")
         packed = packed.astype(np.uint64)
         values = np.asarray(values, dtype=np.int32)
         cap = capacity or _pow2_capacity(len(values), load_factor,

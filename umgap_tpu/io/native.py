@@ -238,16 +238,11 @@ def parse_fasta_file(path: str, max_len: int = 160,
 # ---------------------------------------------------------------------- #
 
 def _open_stream(path: str):
-    """Binary stream; gzip sniffed by magic (umgap-analyse.sh:159-175).
-    Opens by PATH in both branches — GzipFile over a caller-owned
-    fileobj would leak the raw descriptor on close."""
-    with open(path, "rb") as probe:
-        magic = probe.read(2)
-    if magic == b"\x1f\x8b":
-        import gzip
+    """Binary stream; gzip sniffed by magic (one implementation —
+    configdir.sniff_open — serves text and binary callers)."""
+    from ..configdir import sniff_open
 
-        return gzip.open(path, "rb")
-    return open(path, "rb")
+    return sniff_open(path, "rb")
 
 
 class StreamUnsupported(ValueError):

@@ -33,20 +33,9 @@ TRYPTIC_PRESETS = {
 MIN_PEP, MAX_PEP = 9, 45
 
 
-def fingerprints_batch(codes: np.ndarray, lengths: np.ndarray):
-    """Vectorized FNV-1a fingerprints over padded AA code rows
-    (identical to table.fingerprint_host per row)."""
-    n, L = codes.shape
-    h1 = np.full(n, _FNV_OFFSET, dtype=np.uint32)
-    h2 = np.full(n, _FNV_OFFSET2, dtype=np.uint32)
-    with np.errstate(over="ignore"):
-        for j in range(L):
-            live = j < lengths
-            c = codes[:, j].astype(np.uint32)
-            h1 = np.where(live, (h1 ^ c) * _FNV_PRIME, h1)
-            h2 = np.where(live, (h2 ^ (c + np.uint32(0x9E37))) * _FNV_PRIME, h2)
-    h1 = np.where(h1 == np.uint32(0xFFFFFFFF), np.uint32(0), h1)
-    return h1.astype(np.int32), h2.astype(np.int32)
+# one definition serves both call sites (identical to
+# table.fingerprint_host per row)
+from ..index.table import fingerprints_matrix as fingerprints_batch  # noqa: E402
 
 
 def digest_groups(

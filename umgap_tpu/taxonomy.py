@@ -197,6 +197,7 @@ class Taxonomy:
         src/taxon.rs:194-209). Raises TaxonomyError on unknown taxa."""
         arr = [NONE] * ranks.RANK_COUNT
         next_id, prev_id = tid, None
+        seen = 0
         while next_id != prev_id:
             if not (0 <= next_id < self.size) or not self.present[next_id]:
                 raise TaxonomyError(f"Unknown Taxon ID: {next_id}")
@@ -205,6 +206,9 @@ class Taxonomy:
                 arr[r] = next_id
             prev_id = next_id
             next_id = int(self.parent[next_id])
+            seen += 1
+            if seen > self.size:  # parent cycle: never hang (cf. score)
+                raise TaxonomyError(f"Taxon {tid} has a cyclic ancestry")
         return arr
 
     # ------------------------------------------------------------------ #
@@ -318,7 +322,9 @@ class Taxonomy:
         ``(size, max_depth + 1)``. This is the array form of every tree walk
         in the reference (Tree::new BFS, RTL ancestor loops)."""
         D = self.max_depth + 1
-        anc = np.full((self.size, D), NONE, dtype=np.int64)
+        # int32: ids < 2^31 and every consumer ships int32 to the
+        # device — int64 doubled a ~GB-scale allocation at NCBI size
+        anc = np.full((self.size, D), NONE, dtype=np.int32)
         order = np.argsort(self.depth, kind="stable")
         order = order[self.depth[order] != NONE]
         for i in order:
