@@ -224,13 +224,14 @@ class Taxonomy:
         ``keep`` is a boolean vector of length ``size``.
         """
         snap = np.full(self.size, NONE, dtype=np.int64)
-        order = np.argsort(self.depth, kind="stable")
-        order = order[self.depth[order] != NONE]  # reachable, root first
-        for i in order:
-            if i == self.root:
-                snap[i] = i  # root is its own ancestor even if filtered out
-            else:
-                snap[i] = i if keep[i] else snap[self.parent[i]]
+        snap[self.root] = self.root  # root maps to itself even if filtered
+        depth = self.depth
+        maxd = int(depth.max()) if self.size else 0
+        for d in range(1, maxd + 1):  # level-by-level: parents resolved
+            ids = np.flatnonzero(depth == d)
+            if len(ids):
+                snap[ids] = np.where(keep[ids], ids,
+                                     snap[self.parent[ids]])
         return snap
 
     def snapping(self, ranked_only: bool) -> np.ndarray:
@@ -325,16 +326,13 @@ class Taxonomy:
         # int32: ids < 2^31 and every consumer ships int32 to the
         # device — int64 doubled a ~GB-scale allocation at NCBI size
         anc = np.full((self.size, D), NONE, dtype=np.int32)
-        order = np.argsort(self.depth, kind="stable")
-        order = order[self.depth[order] != NONE]
-        for i in order:
-            d = self.depth[i]
-            if i == self.root:
-                anc[i, 0] = i
-            else:
-                p = self.parent[i]
-                anc[i, : d] = anc[p, : d]
-                anc[i, d] = i
+        anc[self.root, 0] = self.root
+        depth = self.depth
+        for d in range(1, D):  # level-by-level (root is the only depth-0)
+            ids = np.flatnonzero(depth == d)
+            if len(ids):
+                anc[ids, :d] = anc[self.parent[ids], :d]
+                anc[ids, d] = ids
         return anc
 
     @property
