@@ -559,7 +559,7 @@ def cmd_buildindex_dist(args, stdin, stdout):
         workers=args.workers, k=args.k,
         synthetic_rows=(int(float(args.synthetic))
                         if args.synthetic is not None else None),
-        seed=args.seed, layout=args.layout)
+        seed=args.seed, layout=args.layout, reclaim=args.reclaim)
     stdout.write(json.dumps({
         "n_keys": manifest["n_keys"],
         "n_shards": manifest["n_shards"],
@@ -768,6 +768,12 @@ def build_parser() -> argparse.ArgumentParser:
                          "(~13-21 B/key HBM, <=2 row gathers), bucket8s "
                          "= fastest probe (1 gather) at 4-8x the memory")
     sp.add_argument("--seed", type=int, default=7)
+    sp.add_argument("--reclaim", action="store_true",
+                    help="disk-bounded build: delete each stage's "
+                         "consumed inputs once its outputs are "
+                         "checkpointed (spills after join, joined "
+                         "arrays after table build) — peak disk drops "
+                         "from ~3.5x to ~1.6x the final artifact size")
     # internal: worker re-invocation
     sp.add_argument("--task", default=None,
                     choices=["partition", "join", "build"],
@@ -871,6 +877,21 @@ def build_parser() -> argparse.ArgumentParser:
                          "the precision presets (umgap-analyse.sh:248-"
                          "251): 'auto' uses <configdir>/FGSpp when "
                          "installed, else 6-frame translation")
+    sp.add_argument("--mesh", nargs="?", const="auto", default=None,
+                    metavar="N",
+                    help="run sharded over an N-device mesh (default "
+                         "all visible devices): reads data-parallel, "
+                         "the index hash-range-sharded across HBMs with "
+                         "all-to-all probe routing — the pod-scale "
+                         "form of umgap-analyse.sh's shared socket "
+                         "index; on one chip this degrades to 1 shard")
+    sp.add_argument("--shards", default=None, metavar="DIR",
+                    help="serve a buildindex-dist artifact: DIR is the "
+                         "build workdir (or its shards/ directory); "
+                         "the shard count must be a multiple of the "
+                         "mesh size (each device holds several "
+                         "sub-shards). Implies --mesh auto. 9-mer "
+                         "presets only")
     sp.set_defaults(func=cmd_analyse)
 
     return p
@@ -1050,7 +1071,10 @@ ANALYSE_WIDTH_CAP = 4096
 
 def _pow2_bucket(n: int, lo: int, hi: int) -> int:
     """Smallest power-of-two >= n within [lo, hi] (each compiled batch
-    geometry is one program; buckets keep the compile count tiny)."""
+    geometry is one program; buckets keep the compile count tiny).  The
+    cap ``hi`` is rounded DOWN to a power of two first so the result is
+    always a power of two."""
+    hi = max(lo, 1 << (max(hi, 1).bit_length() - 1))
     b = lo
     while b < n and b < hi:
         b *= 2
@@ -1109,10 +1133,96 @@ def cmd_analyse(args, stdin, stdout):
 
     tax = None
     tables: dict = {}
+    stables: dict = {}  # sharded mode: tryptic -> ShardedTable
+    mesh = None
+    mesh_axis = "x"
+    if getattr(args, "shards", None) is not None and args.mesh is None:
+        args.mesh = "auto"
+    sharded = getattr(args, "mesh", None) is not None
+    if sharded:
+        import jax
+
+        from .parallel import make_mesh
+
+        n_dev = (len(jax.devices()) if args.mesh == "auto"
+                 else int(args.mesh))
+        mesh = make_mesh(n_dev)
+
+    def _build_stable(tryptic: bool, table):
+        """Split a single loaded index across the mesh (graceful 1-shard
+        degradation on a single chip)."""
+        from .parallel import (
+            ShardedTable,
+            build_sharded_peptide_tables,
+            build_sharded_tables,
+        )
+
+        n_dev = int(mesh.devices.size)
+        if tryptic:
+            if table.raw_keys is None:
+                raise CliError(
+                    "--mesh tryptic serving needs an index built with "
+                    "stored keys (the default buildindex output)")
+            shards = build_sharded_peptide_tables(
+                table.raw_keys, table.raw_values, n_shards=n_dev)
+        else:
+            packed, values = table.items()
+            shards = build_sharded_tables(packed, values, k=table.k,
+                                          n_shards=n_dev)
+        return ShardedTable.from_shards(shards, mesh, axis=mesh_axis)
+
+    def _load_shards_dir():
+        """A buildindex-dist workdir as the serving index: shards load
+        unchanged (they were built with the serving owner function) and
+        group onto the mesh devices; taxons default from the build
+        manifest."""
+        import json
+
+        from .index import distbuild
+        from .parallel import ShardedTable
+
+        workdir = os.path.normpath(args.shards)
+        if os.path.basename(workdir) == "shards":
+            workdir = os.path.dirname(workdir)
+        man_path = os.path.join(workdir, "manifest.json")
+        if not os.path.exists(man_path):
+            raise CliError(
+                f"no manifest.json under {workdir}; --shards takes a "
+                "buildindex-dist workdir (or its shards/ directory)")
+        with open(man_path) as f:
+            manifest = json.load(f)
+        n_dev = int(mesh.devices.size)
+        if manifest["n_shards"] % n_dev:
+            raise CliError(
+                f"{manifest['n_shards']} shards cannot be grouped onto "
+                f"the {n_dev}-device mesh (must divide evenly)")
+        shards = distbuild.load_shards(workdir)
+        stables[False] = ShardedTable.from_shards(shards, mesh,
+                                                  axis=mesh_axis)
+        return manifest.get("taxons")
 
     def load_world(tryptic: bool):
         nonlocal tax
         taxons_path, index_path = args.taxons, args.index
+        if not tryptic and sharded and args.shards is not None:
+            if False not in stables:
+                man_taxons = _load_shards_dir()
+                if taxons_path is None and man_taxons and \
+                        os.path.exists(man_taxons):
+                    taxons_path = man_taxons
+            if tax is None:
+                if taxons_path is None:
+                    from . import configdir as cfg
+
+                    conf = args.configdir or cfg.default_config_dir()
+                    version = cfg.discover_version(conf)
+                    if version is None:
+                        raise CliError(
+                            "No taxonomy found: pass --taxons (the "
+                            "shards manifest has no usable path)")
+                    taxons_path = cfg.resolve(conf, version, "taxons.tsv")
+                tax = _load_taxonomy(taxons_path)
+            return tax, None
         if taxons_path is None or index_path is None:
             # data-version discovery (umgap-analyse.sh:233-241)
             from . import configdir as cfg
@@ -1140,6 +1250,8 @@ def cmd_analyse(args, stdin, stdout):
                     f"index {index_path} is a {table.kind} index but "
                     f"the preset needs a {need} index")
             tables[tryptic] = table
+        if sharded and tryptic not in stables:
+            stables[tryptic] = _build_stable(tryptic, tables[tryptic])
         return tax, tables[tryptic]
 
     # Device state and compiled analysers shared across samples: a
@@ -1152,18 +1264,29 @@ def cmd_analyse(args, stdin, stdout):
 
     def get_analyser(preset: str, tryptic: bool, B: int, L: int, ends: int,
                      stax, stable_):
+        if sharded:
+            n_dev = int(mesh.devices.size)
+            B = -(-B // n_dev) * n_dev  # batches split over the mesh
         key = (preset, B, L, ends)
         a = analysers.get(key)
         if a is None:
             if "dtax" not in dev:
                 dev["dtax"] = devagg.DeviceTaxonomy.from_host(stax)
-            dk = ("dtable", tryptic)
-            if dk not in dev:
-                dev[dk] = lookup.DeviceTable.from_host(stable_)
             config = (TRYPTIC_PRESETS if tryptic else PRESETS)[preset]
-            cls = TrypticAnalyser if tryptic else Analyser
-            a = cls(stax, stable_, config, batch_size=B, read_length=L,
-                    ends=ends, dtax=dev["dtax"], dtable=dev[dk])
+            if sharded:
+                from .parallel import make_sharded_stream_analyser
+
+                a = make_sharded_stream_analyser(
+                    stax, stables[tryptic], config, mesh, axis=mesh_axis,
+                    tryptic=tryptic, batch_size=B, read_length=L,
+                    ends=ends, dtax=dev["dtax"])
+            else:
+                dk = ("dtable", tryptic)
+                if dk not in dev:
+                    dev[dk] = lookup.DeviceTable.from_host(stable_)
+                cls = TrypticAnalyser if tryptic else Analyser
+                a = cls(stax, stable_, config, batch_size=B, read_length=L,
+                        ends=ends, dtax=dev["dtax"], dtable=dev[dk])
             analysers[key] = a
         else:
             a.reset()
@@ -1335,19 +1458,28 @@ def cmd_analyse(args, stdin, stdout):
         from .io import native
 
         if preset in fgspp_mod.FGSPP_PRESETS and args.fgspp != "never":
-            from . import configdir as cfg
+            if sharded:
+                # the FGSpp protein path probes the single-device table;
+                # sharded serving uses the self-contained translation
+                # front end (as the reference does without FGSpp)
+                if args.fgspp == "require":
+                    raise CliError(
+                        "--fgspp require is not supported with --mesh; "
+                        "run without --mesh or with --fgspp auto")
+            else:
+                from . import configdir as cfg
 
-            conf = args.configdir or cfg.default_config_dir()
-            fg = fgspp_mod.find_fgspp(conf)
-            if fg is None and args.fgspp == "require":
-                raise CliError(
-                    "FGSpp requested but not installed under the config "
-                    "dir (expected FGSpp/FGSpp + FGSpp/train).")
-            if fg is not None:
-                verbose(f"gene prediction via FGSpp at {fg[0]}")
-                yield from run_sample_fgspp(sample, preset, tryptic,
-                                            stax, stable_, fg)
-                return
+                conf = args.configdir or cfg.default_config_dir()
+                fg = fgspp_mod.find_fgspp(conf)
+                if fg is None and args.fgspp == "require":
+                    raise CliError(
+                        "FGSpp requested but not installed under the "
+                        "config dir (expected FGSpp/FGSpp + FGSpp/train).")
+                if fg is not None:
+                    verbose(f"gene prediction via FGSpp at {fg[0]}")
+                    yield from run_sample_fgspp(sample, preset, tryptic,
+                                                stax, stable_, fg)
+                    return
 
         native_ok = False
         try:

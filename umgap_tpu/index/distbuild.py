@@ -186,6 +186,7 @@ def task_join(workdir: str, manifest: dict, shard: int,
         return
     parts = sorted(glob.glob(
         os.path.join(workdir, "part", f"c*_s{shard:03d}.npz")))
+    part_files = list(parts)
     keys: List[np.ndarray] = []
     tids: List[np.ndarray] = []
     for p in parts:
@@ -217,7 +218,20 @@ def task_join(workdir: str, manifest: dict, shard: int,
                                            n_threads=n_threads)
     _save_atomic(os.path.join(joined, f"s{shard:03d}.npz"),
                  keys=out_keys, values=out_vals)
+    # key count sideband: final accounting must not re-load (or depend
+    # on the continued existence of) the joined arrays
+    with open(stamp + ".count.tmp", "w") as f:
+        f.write(str(len(out_keys)))
+    os.replace(stamp + ".count.tmp", stamp + ".count")
     _mark(stamp)
+    if manifest.get("reclaim"):
+        # disk-bounded mode: the spills for this shard are consumed and
+        # no later stage reads them
+        for p in part_files:
+            try:
+                os.remove(p)
+            except FileNotFoundError:
+                pass
 
 
 def common_capacity(workdir: str, manifest: dict) -> int:
@@ -239,9 +253,9 @@ def common_capacity(workdir: str, manifest: dict) -> int:
             return json.load(f)["capacity"]
     max_n, max_s = 1, 0
     for s in range(manifest["n_shards"]):
-        z = np.load(os.path.join(workdir, "joined", f"s{s:03d}.npz"))
-        if len(z["keys"]) > max_n:
-            max_n, max_s = len(z["keys"]), s
+        n = _shard_key_count(workdir, s)
+        if n > max_n:
+            max_n, max_s = n, s
     bucket = 8 if manifest["layout"] == "bucket8s" else 16
     cap = _pow2_capacity(max_n, LOAD_FACTOR, bucket << MIN_NB_BITS)
     z = np.load(os.path.join(workdir, "joined", f"s{max_s:03d}.npz"))
@@ -262,9 +276,22 @@ def common_capacity(workdir: str, manifest: dict) -> int:
     return cap
 
 
+def _shard_key_count(workdir: str, shard: int) -> int:
+    """Key count of one joined shard, via the sideband written at join
+    time (survives --reclaim deletion of the arrays themselves)."""
+    cpath = os.path.join(workdir, "joined", f"s{shard:03d}.count")
+    if os.path.exists(cpath):
+        with open(cpath) as f:
+            return int(f.read().strip())
+    z = np.load(os.path.join(workdir, "joined", f"s{shard:03d}.npz"))
+    return len(z["keys"])
+
+
 def bump_capacity(workdir: str) -> int:
     """Backstop for a shard whose stash still overflowed at the sized
-    capacity: double it and invalidate built shards."""
+    capacity: double it and invalidate built shards.  Built shards whose
+    joined inputs were reclaimed are RENAMED (.old.npz) instead of
+    deleted — task_build reconstructs their keys via ``items()``."""
     cap_path = os.path.join(workdir, "capacity.json")
     with open(cap_path) as f:
         meta = json.load(f)
@@ -272,7 +299,16 @@ def bump_capacity(workdir: str) -> int:
     with open(cap_path + ".tmp", "w") as f:
         json.dump(meta, f)
     os.replace(cap_path + ".tmp", cap_path)
-    for p in glob.glob(os.path.join(workdir, "shards", "shard_*")):
+    for p in glob.glob(os.path.join(workdir, "shards", "shard_*.npz")):
+        if p.endswith(".old.npz"):
+            continue
+        shard = os.path.splitext(os.path.basename(p))[0]  # shard_NNN
+        joined = os.path.join(workdir, "joined", f"s{shard[6:]}.npz")
+        if os.path.exists(joined):
+            os.remove(p)
+        else:
+            os.replace(p, p[: -len(".npz")] + ".old.npz")
+    for p in glob.glob(os.path.join(workdir, "shards", "shard_*.done")):
         os.remove(p)
     return meta["capacity"]
 
@@ -285,13 +321,24 @@ def task_build(workdir: str, manifest: dict, shard: int) -> None:
     if _is_done(stamp):
         return
     cap = common_capacity(workdir, manifest)
-    z = np.load(os.path.join(workdir, "joined", f"s{shard:03d}.npz"))
+    joined_path = os.path.join(workdir, "joined", f"s{shard:03d}.npz")
+    old_path = os.path.join(shards_dir, f"shard_{shard:03d}.old.npz")
+    if os.path.exists(joined_path):
+        z = np.load(joined_path)
+        keys = z["keys"].astype(np.uint64)
+        values = z["values"].astype(np.int32)
+    else:
+        # joined inputs reclaimed; a capacity bump renamed the previous
+        # build — its items() reconstruct the exact key/value set
+        from .table import load_table
+
+        keys, values = load_table(old_path).items()
+        keys = keys.astype(np.uint64)
     # explicit geometry (no layout fallback): every shard MUST share
     # one row shape or the stacked serving table breaks
     bucket = 8 if manifest["layout"] == "bucket8s" else 16
     probes = 0 if manifest["layout"] == "bucket8s" else 1
-    table = KmerTable.build(z["keys"].astype(np.uint64),
-                            z["values"].astype(np.int32),
+    table = KmerTable.build(keys, values.astype(np.int32),
                             k=manifest["k"], bucket=bucket,
                             max_probe_limit=probes, stash_cap=256,
                             capacity=cap)
@@ -300,6 +347,10 @@ def task_build(workdir: str, manifest: dict, shard: int) -> None:
     table.save(os.path.join(shards_dir, f"shard_{shard:03d}.npz"),
                compress=False)
     _mark(stamp)
+    if os.path.exists(old_path):
+        os.remove(old_path)
+    if manifest.get("reclaim") and os.path.exists(joined_path):
+        os.remove(joined_path)
 
 
 # ---------------------------------------------------------------------- #
@@ -362,7 +413,8 @@ def drive(workdir: str, tsv: Optional[str], taxons: Optional[str],
           n_shards: int = 16, workers: int = 2, k: int = 9,
           synthetic_rows: Optional[int] = None, seed: int = 7,
           n_tax: int = 200_000, chunk_bytes: int = 256 << 20,
-          rows_per_chunk: int = 20_000_000, layout: str = LAYOUT) -> dict:
+          rows_per_chunk: int = 20_000_000, layout: str = LAYOUT,
+          reclaim: bool = False) -> dict:
     """Run (or resume) the whole job; returns the manifest with timing
     and completion state.  Idempotent: finished tasks are skipped via
     their ``.done`` markers."""
@@ -386,13 +438,15 @@ def drive(workdir: str, tsv: Optional[str], taxons: Optional[str],
                             rows_per_chunk=rows_per_chunk,
                             total_rows=synthetic_rows,
                             n_chunks=n_chunks, taxons=taxons_path,
-                            n_shards=n_shards, k=k, layout=layout)
+                            n_shards=n_shards, k=k, layout=layout,
+                            reclaim=reclaim)
         else:
             chunks = tsv_chunks(tsv, chunk_bytes)
             manifest = dict(input="tsv", tsv=os.path.abspath(tsv),
                             chunks=chunks, n_chunks=len(chunks),
                             taxons=os.path.abspath(taxons),
-                            n_shards=n_shards, k=k, layout=layout)
+                            n_shards=n_shards, k=k, layout=layout,
+                            reclaim=reclaim)
         with open(man_path + ".tmp", "w") as f:
             json.dump(manifest, f)
         os.replace(man_path + ".tmp", man_path)
@@ -442,10 +496,8 @@ def drive(workdir: str, tsv: Optional[str], taxons: Optional[str],
 
     manifest["timings"] = timings
     manifest["capacity"] = common_capacity(workdir, manifest)
-    n_keys = 0
-    for s in range(manifest["n_shards"]):
-        z = np.load(os.path.join(workdir, "joined", f"s{s:03d}.npz"))
-        n_keys += len(z["keys"])
+    n_keys = sum(_shard_key_count(workdir, s)
+                 for s in range(manifest["n_shards"]))
     manifest["n_keys"] = n_keys
     with open(man_path + ".tmp", "w") as f:
         json.dump(manifest, f)

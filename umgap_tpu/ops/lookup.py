@@ -35,27 +35,37 @@ class DeviceTable:
     """
 
     def __init__(self, rows, max_probes: int, kind: str, nb_bits: int,
-                 bucket: int = BUCKET, stash=None):
-        self.rows = rows  # (n_buckets, 2*bucket or 3*bucket) int32
+                 bucket: int = BUCKET, stash=None, group: int = 1):
+        self.rows = rows  # (group * n_buckets, 2*bucket or 3*bucket) int32
         self.max_probes = max_probes
         self.kind = kind
         self.nb_bits = nb_bits
         self.bucket = bucket
+        # ``group`` > 1 stacks several same-capacity sub-shard tables
+        # along the bucket axis (e.g. one device of a mesh holding
+        # multiple hash-range shards of a distributed build); probes
+        # then take a per-query ``sub`` index selecting the sub-table.
+        self.group = group
         # (S, 3) int32 [key_hi, key_lo, value] overflow stash (may be
         # empty); compared against every query by broadcast, not gather.
+        # Grouped tables concatenate their sub-shards' stashes — the
+        # compare is on full keys, and a key belongs to exactly one
+        # shard, so the flat compare stays exact.
         self.stash = jnp.zeros((0, 3), jnp.int32) if stash is None else stash
 
     def tree_flatten(self):
         return (self.rows, self.stash), (self.max_probes, self.kind,
-                                         self.nb_bits, self.bucket)
+                                         self.nb_bits, self.bucket,
+                                         self.group)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], *aux, stash=children[1])
+        return cls(children[0], *aux[:4], stash=children[1], group=aux[4])
 
     @property
     def n_buckets(self) -> int:
-        return self.rows.shape[0]
+        """Per-sub-table bucket count."""
+        return self.rows.shape[0] // self.group
 
     @classmethod
     def from_host(cls, table, device=None) -> "DeviceTable":
@@ -111,7 +121,8 @@ from ..index.table import hash32 as hash32_device  # noqa: E402 isort:skip
 
 
 def probe(table: DeviceTable, hi: jax.Array, lo: jax.Array,
-          valid: jax.Array | None = None, default: int = 0):
+          valid: jax.Array | None = None, default: int = 0,
+          sub: jax.Array | None = None):
     """Look up packed keys. Returns (values, found).
 
     Args:
@@ -120,12 +131,20 @@ def probe(table: DeviceTable, hi: jax.Array, lo: jax.Array,
         fingerprint halves for peptide tables), any shape.
       valid: optional bool mask; invalid lanes return ``default``/False.
       default: value for misses (0 reproduces the reference's `-o`).
+      sub: per-query sub-table index (int32, same shape as ``hi``) for
+        grouped tables (``table.group`` > 1): the query's bucket is
+        taken inside sub-table ``sub`` — linear probing wraps within
+        the sub-table, never crossing into a neighbour shard.
     """
     live = jnp.ones(hi.shape, dtype=bool) if valid is None else valid
     out = jnp.full(hi.shape, default, dtype=jnp.int32)
     found = jnp.zeros(hi.shape, dtype=bool)
+    if table.group > 1 and sub is None:
+        raise ValueError("grouped table probe requires a sub index")
 
     if table.kind == "cuckoo":
+        if table.group > 1:
+            raise ValueError("cuckoo tables do not support grouping")
         # two-half quotient cuckoo: 2 gathers x 2 int32 per query (the
         # minimal exact probe; see index.table.CuckooKmerTable)
         s_bits = table.nb_bits
@@ -150,6 +169,7 @@ def probe(table: DeviceTable, hi: jax.Array, lo: jax.Array,
         return out, hit0 | hit1
 
     nb = table.n_buckets
+    base = None if sub is None else sub.astype(jnp.int32) * jnp.int32(nb)
     if table.kind == "kmer":
         nb_bits = table.nb_bits
         mhi, mlo = mix_key(hi, lo)
@@ -158,7 +178,9 @@ def probe(table: DeviceTable, hi: jax.Array, lo: jax.Array,
                | (mhi << np.uint32(25 - nb_bits))).astype(jnp.int32)
         bk = table.bucket
         for r in range(table.max_probes + 1):
-            row = jnp.take(table.rows, bucket, axis=0)  # (..., 2*bk)
+            row = jnp.take(table.rows,
+                           bucket if base is None else base + bucket,
+                           axis=0)  # (..., 2*bk)
             rr = row[..., 0:bk]
             rv = row[..., bk:2 * bk]
             tag = rem | jnp.int32(min(r, 1) << 30)
@@ -185,7 +207,9 @@ def probe(table: DeviceTable, hi: jax.Array, lo: jax.Array,
     bucket = (hash32_device(hi, lo) & jnp.uint32(nb - 1)).astype(jnp.int32)
     bk = table.bucket
     for _ in range(table.max_probes + 1):
-        row = jnp.take(table.rows, bucket, axis=0)  # (..., 3*bk)
+        row = jnp.take(table.rows,
+                       bucket if base is None else base + bucket,
+                       axis=0)  # (..., 3*bk)
         rh = row[..., 0:bk]
         rl = row[..., bk:2 * bk]
         rv = row[..., 2 * bk:3 * bk]

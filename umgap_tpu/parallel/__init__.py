@@ -16,6 +16,7 @@ from .sharded import (  # noqa: F401
     build_sharded_peptide_tables,
     build_sharded_tables,
     make_sharded_pipeline,
+    make_sharded_stream_analyser,
     make_sharded_tryptic_pipeline,
 )
 from .multihost import (  # noqa: F401

@@ -112,48 +112,90 @@ class ShardedTable:
     (registered pytree; pass as a jit argument)."""
 
     def __init__(self, rows, max_probes: int, n_shards: int, kind: str,
-                 nb_bits: int, bucket: int, stash=None):
-        self.rows = rows  # (n_shards, n_buckets, row_width) int32
+                 nb_bits: int, bucket: int, stash=None, group: int = 1):
+        self.rows = rows  # (n_devices, group * n_buckets, row_width) int32
         self.max_probes = max_probes
+        # total LOGICAL hash-range shards = n_devices * group; with
+        # ``group`` > 1 each device holds ``group`` adjacent shards
+        # stacked along the bucket axis (range partitioning makes the
+        # device owner a pure prefix of the shard owner: owner_dev =
+        # owner_shard // group)
         self.n_shards = n_shards
         self.kind = kind
         self.nb_bits = nb_bits
         self.bucket = bucket
-        # (n_shards, S, 3) int32 [key_hi, key_lo, value]; rows padded
+        self.group = group
+        # (n_devices, S, 3) int32 [key_hi, key_lo, value]; rows padded
         # with key_hi = -1 (impossible: packed hi has <= 20 bits)
-        self.stash = (jnp.zeros((n_shards, 0, 3), jnp.int32)
+        nd = n_shards // group
+        self.stash = (jnp.zeros((nd, 0, 3), jnp.int32)
                       if stash is None else stash)
+
+    @property
+    def n_devices(self) -> int:
+        return self.n_shards // self.group
 
     def tree_flatten(self):
         return (self.rows, self.stash), (self.max_probes, self.n_shards,
-                                         self.kind, self.nb_bits, self.bucket)
+                                         self.kind, self.nb_bits,
+                                         self.bucket, self.group)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], *aux, stash=children[1])
+        return cls(children[0], *aux[:5], stash=children[1], group=aux[5])
 
     @classmethod
-    def from_shards(cls, shards, mesh: Mesh, axis: str = "x") -> "ShardedTable":
+    def from_shards(cls, shards, mesh: Mesh, axis: str = "x",
+                    devices: int | None = None) -> "ShardedTable":
+        """Stack host shard tables over the mesh axis.
+
+        With ``len(shards)`` == the mesh extent, one shard per device
+        (the original layout). With more shards than devices (HBM-
+        filling production artifacts: e.g. a 16-shard ``buildindex-dist``
+        build served on 8 — or 1 — chips), each device holds
+        ``len(shards) / n_devices`` ADJACENT shards stacked along the
+        bucket axis and probes select the sub-shard per query; the shard
+        count must be a multiple of the device count."""
         n = len(shards)
+        if devices is None:
+            devices = 1
+            for a in ((axis,) if isinstance(axis, str) else axis):
+                devices *= mesh.shape[a]
+        if n % devices:
+            raise ValueError(
+                f"{n} shards cannot be grouped onto {devices} devices")
+        group = n // devices
         sharding = NamedSharding(mesh, P(axis, None, None))
-        stacked = np.stack([lookup.pack_rows(t) for t in shards])
         t0 = shards[0]
+        if any(t.capacity != t0.capacity or t.kind != t0.kind
+               for t in shards):
+            raise ValueError("shards must share capacity and kind")
+        stacked = np.stack([
+            np.concatenate(
+                [lookup.pack_rows(t) for t in shards[d * group:
+                                                     (d + 1) * group]])
+            for d in range(devices)
+        ])
         if t0.kind == "kmer":
             nb_bits = t0.nb_bits
         elif t0.kind == "cuckoo":
             nb_bits = t0.s_bits
         else:
             nb_bits = 0
-        smax = max((len(getattr(t, "stash_hi", [])) for t in shards),
-                   default=0)
-        stash = np.full((n, smax, 3), -1, np.int32)
+        smax = max((sum(len(getattr(t, "stash_hi", []))
+                        for t in shards[d * group : (d + 1) * group])
+                    for d in range(devices)), default=0)
+        stash = np.full((devices, smax, 3), -1, np.int32)
         stash[:, :, 2] = 0
-        for i, t in enumerate(shards):
-            sh = getattr(t, "stash_hi", None)
-            if sh is not None and len(sh):
-                stash[i, : len(sh), 0] = sh
-                stash[i, : len(sh), 1] = t.stash_lo
-                stash[i, : len(sh), 2] = t.stash_val
+        for d in range(devices):
+            at = 0
+            for t in shards[d * group : (d + 1) * group]:
+                sh = getattr(t, "stash_hi", None)
+                if sh is not None and len(sh):
+                    stash[d, at : at + len(sh), 0] = sh
+                    stash[d, at : at + len(sh), 1] = t.stash_lo
+                    stash[d, at : at + len(sh), 2] = t.stash_val
+                    at += len(sh)
         return cls(
             rows=jax.device_put(stacked, sharding),
             max_probes=max(t.max_probes for t in shards),
@@ -162,18 +204,36 @@ class ShardedTable:
             nb_bits=nb_bits,
             bucket=getattr(t0, "bucket", 8),
             stash=jax.device_put(stash, sharding),
+            group=group,
         )
+
+
+def _flat_axis_index(axis):
+    """This device's index along a (possibly tuple) mesh axis, major
+    axis first — matches all_to_all's flattened product-axis order."""
+    if isinstance(axis, (tuple, list)):
+        idx = jnp.int32(0)
+        for a in axis:
+            idx = idx * jax.lax.psum(1, a) + jax.lax.axis_index(a)
+        return idx
+    return jax.lax.axis_index(axis)
 
 
 def sharded_probe_local(local_hi, local_lo, local_valid,
                         shard_rows, max_probes: int,
                         axis, default: int = 0,
                         kind: str = "kmer", nb_bits: int = 0,
-                        bucket: int = 8, shard_stash=None):
+                        bucket: int = 8, shard_stash=None,
+                        group: int = 1):
     """Probe inside shard_map: local queries of any shape; the local
     table shard's packed rows. Routes via all_to_all both ways.
     ``axis`` may be one mesh axis name or a tuple of names (host, chip)
-    — collectives then span the flattened product axis."""
+    — collectives then span the flattened product axis.
+
+    ``group`` > 1: this device holds ``group`` adjacent logical shards
+    stacked along the bucket axis; routing stays device-level (range
+    partitioning: device owner = shard owner // group) and the local
+    probe selects each query's sub-shard."""
     n = jax.lax.psum(1, axis)
     shape = local_hi.shape
     hi = local_hi.reshape(-1)
@@ -207,9 +267,17 @@ def sharded_probe_local(local_hi, local_lo, local_valid,
     r_valid = jax.lax.all_to_all(b_valid, axis, 0, 0, tiled=False)
 
     local_table = lookup.DeviceTable(shard_rows, max_probes, kind, nb_bits,
-                                     bucket, stash=shard_stash)
+                                     bucket, stash=shard_stash, group=group)
+    sub = None
+    if group > 1:
+        # recompute the query's logical-shard owner locally (the key
+        # rides with the query); my sub-shards are the ``group``
+        # adjacent owners starting at my_device * group
+        own = owner_of(r_hi, r_lo, n * group, kind=kind)
+        sub = jnp.clip(own - _flat_axis_index(axis) * jnp.int32(group),
+                       0, group - 1)
     vals, found = lookup.probe(local_table, r_hi, r_lo, valid=r_valid,
-                               default=default)
+                               default=default, sub=sub)
 
     # route results back and unscatter
     back_vals = jax.lax.all_to_all(vals, axis, 0, 0, tiled=False)
@@ -282,13 +350,16 @@ def _finish_sharded(local_step, stable: ShardedTable, mesh: Mesh, axis,
 
 def make_sharded_pipeline(dtax, stable: ShardedTable, config, mesh: Mesh,
                           axis="x", n_ranks: int | None = None,
-                          euler=None, with_overflow: bool = False):
+                          euler=None, with_overflow: bool = False,
+                          wire: str = "codes", length: int | None = None):
     """The fused 9-mer pipeline under shard_map: reads data-parallel
     over the mesh, table sharded over the same axis, probes routed
     all-to-all.  ``euler`` (a DeviceEuler, replicated over the mesh)
     enables rmq/lca* aggregation; ``with_overflow`` adds a per-read
     k_max-overflow flag (see :class:`ShardedAnalyser` for the exact
-    wide-program reroute)."""
+    wide-program reroute).  ``wire='packed4'`` accepts 4-bit packed DNA
+    (pass the unpacked ``length``), halving the host->device transfer
+    like the single-chip pipeline."""
     if n_ranks is None:
         n_ranks = int(dtax.snap_ranked.shape[0])
     from ..agg.device_rmq import DeviceEuler
@@ -301,6 +372,8 @@ def make_sharded_pipeline(dtax, stable: ShardedTable, config, mesh: Mesh,
         shard_rows = shard_rows[0]
         shard_stash = shard_stash[0]
         eu = eu if isinstance(eu, DeviceEuler) else None
+        if wire == "packed4":
+            dna = encoding.unpack_dna4_device(dna, length)
         B, E, L = dna.shape
         aa, plens = translate.translate6_batch(
             dna.reshape(B * E, L), lengths.reshape(B * E), table)
@@ -309,7 +382,7 @@ def make_sharded_pipeline(dtax, stable: ShardedTable, config, mesh: Mesh,
             hi, lo, wvalid, shard_rows,
             stable.max_probes, axis, default=0,
             kind=stable.kind, nb_bits=stable.nb_bits, bucket=stable.bucket,
-            shard_stash=shard_stash)
+            shard_stash=shard_stash, group=stable.group)
         taxa = jnp.where(wvalid, taxa, 0)
         W = taxa.shape[-1]
         nk = jnp.maximum(plens - (config.k - 1), 0)
@@ -328,7 +401,9 @@ def make_sharded_tryptic_pipeline(dtax, stable: ShardedTable, config,
                                   n_ranks: int | None = None,
                                   euler=None, with_overflow: bool = False,
                                   min_len: int | None = None,
-                                  max_len: int | None = None):
+                                  max_len: int | None = None,
+                                  wire: str = "codes",
+                                  length: int | None = None):
     """The fused tryptic pipeline under shard_map: 6-frame translate +
     device digest locally, peptide fingerprints routed all-to-all to
     their owner shard (matching prot2tryp2lca semantics,
@@ -352,6 +427,8 @@ def make_sharded_tryptic_pipeline(dtax, stable: ShardedTable, config,
         shard_rows = shard_rows[0]
         shard_stash = shard_stash[0]
         eu = eu if isinstance(eu, DeviceEuler) else None
+        if wire == "packed4":
+            dna = encoding.unpack_dna4_device(dna, length)
         B, E, L = dna.shape
         aa, plens = translate.translate6_batch(
             dna.reshape(B * E, L), lengths.reshape(B * E), table)
@@ -363,7 +440,7 @@ def make_sharded_tryptic_pipeline(dtax, stable: ShardedTable, config,
             h1, h2, pvalid, shard_rows,
             stable.max_probes, axis, default=0,
             kind=stable.kind, nb_bits=stable.nb_bits, bucket=stable.bucket,
-            shard_stash=shard_stash)
+            shard_stash=shard_stash, group=stable.group)
         hits = jnp.where(found & pvalid, taxa, 0).reshape(B, E * NF * F)
         return _agg_tail(dtax, hits, config, eu, n_ranks, axis,
                          with_overflow)
@@ -453,20 +530,119 @@ class ShardedAnalyser:
         return taxa, freq
 
     def _fix_freq(self, freq, old_taxa, new_taxa):
-        """Replace the overflowed reads' contributions in the rank
-        frequency vector (device semantics: snap_batch(snap_ranked,
-        taxon, default=0) then clip-bincount)."""
-        from ..taxonomy import NONE
+        return _fix_freq(self.dtax, self.n_ranks, freq, old_taxa, new_taxa)
 
-        sr = np.asarray(self.dtax.snap_ranked)
-        size = len(sr)
 
-        def hist(t):
-            t = np.asarray(t)
-            s = sr[np.clip(t, 0, size - 1)]
-            ok = (t >= 0) & (t < size) & (s != NONE)
-            r = np.where(ok, s, 0)
-            return np.bincount(np.clip(r, 0, self.n_ranks - 1),
-                               minlength=self.n_ranks).astype(freq.dtype)
+def _fix_freq(dtax, n_ranks: int, freq, old_taxa, new_taxa):
+    """Replace the overflowed reads' contributions in the rank
+    frequency vector (device semantics: snap_batch(snap_ranked,
+    taxon, default=0) then clip-bincount)."""
+    from ..taxonomy import NONE
 
-        return freq - hist(old_taxa) + hist(new_taxa)
+    sr = np.asarray(dtax.snap_ranked)
+    size = len(sr)
+
+    def hist(t):
+        t = np.asarray(t)
+        s = sr[np.clip(t, 0, size - 1)]
+        ok = (t >= 0) & (t < size) & (s != NONE)
+        r = np.where(ok, s, 0)
+        return np.bincount(np.clip(r, 0, n_ranks - 1),
+                           minlength=n_ranks).astype(freq.dtype)
+
+    return freq - hist(old_taxa) + hist(new_taxa)
+
+
+def make_sharded_stream_analyser(tax, stable: ShardedTable, config,
+                                 mesh: Mesh, axis="x", tryptic: bool = False,
+                                 batch_size: int = 16384,
+                                 read_length: int = 160, ends: int = 2,
+                                 dtax=None, euler=None):
+    """Streaming multi-device analyser behind ``analyse --mesh``.
+
+    The sharded counterpart of :class:`~umgap_tpu.pipeline.runner
+    .Analyser`: the same order-preserving depth-bounded batch pipelining
+    (the returned object IS a BatchStream), with the fused step running
+    under shard_map — reads data-parallel over the mesh, the index table
+    sharded (or sub-shard-grouped) over the same axis, probes routed
+    all-to-all.  Overflowed reads re-run through a wide sharded program
+    (exact).  This is the user-reachable form of the reference's one
+    scale mechanism — the shared socket index of
+    /root/reference/scripts/umgap-analyse.sh:257-264 — generalized from
+    'share one RAM copy between processes' to 'shard one HBM copy over
+    a mesh'.  (A factory, not a class: the runner base imports lazily so
+    parallel/ stays importable without the pipeline layer.)"""
+    from ..agg import device as devagg
+    from ..ops import encoding
+    from ..pipeline.runner import BatchStream
+
+    dtax = dtax if dtax is not None else devagg.DeviceTaxonomy.from_host(tax)
+    if euler is None and (config.method, config.strategy) == ("rmq", "lca*"):
+        from ..agg.device_rmq import DeviceEuler
+
+        euler = DeviceEuler.from_host(tax)
+    maker = (make_sharded_tryptic_pipeline if tryptic
+             else make_sharded_pipeline)
+    n_dev = stable.n_devices
+    if batch_size % n_dev:
+        raise ValueError(
+            f"batch size {batch_size} not divisible by the {n_dev}-device "
+            "mesh")
+
+    class _Sharded(BatchStream):
+        def __init__(self):
+            super().__init__(batch_size, read_length, ends)
+            self.dtax = dtax
+            self.config = config
+            self.n_ranks = int(dtax.snap_ranked.shape[0])
+            self.overflow_reads = 0
+            self._wide_step = None
+            self.step = self._make(config, True)
+
+        def _make(self, cfg, with_overflow):
+            return maker(dtax, stable, cfg, mesh, axis=axis, euler=euler,
+                         with_overflow=with_overflow, wire="packed4",
+                         length=read_length)
+
+        def _exact_kmax(self) -> int:
+            from ..pipeline.tryptic import MIN_PEP
+
+            if tryptic:
+                return ends * 6 * ((read_length // 3) // MIN_PEP + 1)
+            return ends * 6 * max((read_length + 2) // 3, 1)
+
+        def _wide(self):
+            if self._wide_step is None:
+                cfg = config._replace(k_max=self._exact_kmax())
+                self._wide_step = self._make(cfg, False)
+            return self._wide_step
+
+        # -- BatchStream hooks ---------------------------------------- #
+
+        def _dispatch(self, dna, lens):
+            return self.step(jax.device_put(encoding.pack_dna4(dna)),
+                             jax.device_put(lens))
+
+        def _finalize(self, handle, dna, lens, n):
+            taxa = np.array(handle[0])
+            over = np.asarray(handle[2])
+            idx = np.nonzero(over[:n])[0]
+            if len(idx):
+                self.overflow_reads += len(idx)
+                wide = self._wide()
+                # wide batches are tiny but must divide over the mesh
+                W = max(n_dev, (64 // n_dev) * n_dev)
+                for s in range(0, len(idx), W):
+                    sel = idx[s : s + W]
+                    nd = np.ascontiguousarray(dna[sel])
+                    nl = np.ascontiguousarray(lens[sel])
+                    if len(sel) < W:
+                        nd = np.pad(nd, ((0, W - len(sel)), (0, 0), (0, 0)),
+                                    constant_values=encoding.DNA_N)
+                        nl = np.pad(nl, ((0, W - len(sel)), (0, 0)))
+                    out, _f = wide(jnp.asarray(encoding.pack_dna4(nd)),
+                                   jnp.asarray(nl))
+                    taxa[sel] = np.array(out)[: len(sel)]
+            return taxa
+
+    return _Sharded()

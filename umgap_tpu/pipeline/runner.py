@@ -203,6 +203,23 @@ class BatchStream:
             for h, t in zip(hs, ts):
                 yield h, int(t)
 
+    def analyse_groups(self, groups):
+        """groups: iterable of (header, [seq…]). Yields (header, taxon)."""
+        buf_headers: List[str] = []
+        buf_seqs: List[Sequence[str]] = []
+        for header, seqs in groups:
+            buf_headers.append(header)
+            buf_seqs.append(seqs)
+            if len(buf_headers) == self.batch_size:
+                dna, lens = encode_batch(buf_seqs, self.ends,
+                                         self.read_length)
+                yield from self.feed(buf_headers, dna, lens)
+                buf_headers, buf_seqs = [], []
+        if buf_headers:
+            dna, lens = encode_batch(buf_seqs, self.ends, self.read_length)
+            yield from self.feed(buf_headers, dna, lens)
+        yield from self.finish()
+
 
 class Analyser(BatchStream):
     """Holds device-resident state (taxonomy + index) across samples —
@@ -311,23 +328,6 @@ class Analyser(BatchStream):
         return taxa
 
     # -- convenience entry points ---------------------------------------- #
-
-    def analyse_groups(self, groups):
-        """groups: iterable of (header, [seq…]). Yields (header, taxon)."""
-        buf_headers: List[str] = []
-        buf_seqs: List[Sequence[str]] = []
-        for header, seqs in groups:
-            buf_headers.append(header)
-            buf_seqs.append(seqs)
-            if len(buf_headers) == self.batch_size:
-                dna, lens = encode_batch(buf_seqs, self.ends,
-                                         self.read_length)
-                yield from self.feed(buf_headers, dna, lens)
-                buf_headers, buf_seqs = [], []
-        if buf_headers:
-            dna, lens = encode_batch(buf_seqs, self.ends, self.read_length)
-            yield from self.feed(buf_headers, dna, lens)
-        yield from self.finish()
 
     def analyse_arrays(self, headers, dna: np.ndarray, lens: np.ndarray,
                        depth: int = 2):
