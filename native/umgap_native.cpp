@@ -367,7 +367,7 @@ extern "C" {
 //   leftover     : n int64 buffer for unplaced ORIGINAL indices
 //   max_probes   : out, deepest round that placed a key
 //   returns      : leftover count, or -1 (capacity exhausted)
-long umgap_insert_bucketized(
+long long umgap_insert_bucketized(
         const long long* bucket0, long long n,
         const int32_t* p0, const int32_t* p1, const int32_t* p2,
         long long cap, int bucket, int max_round, int tag_distance,

@@ -37,10 +37,14 @@ def _load_taxonomy(path, with_unknown: bool = False) -> Taxonomy:
     return Taxonomy(read_taxa_file(path), with_unknown=with_unknown)
 
 
-def _load_table(path):
+def _load_table(path, in_memory: bool = True):
+    """``in_memory=False`` memory-maps the artifact (the reference's
+    default FST mode; `-m` opts into a RAM load,
+    src/commands/pept2lca.rs:74-79).  Compressed artifacts fall back to
+    a full load."""
     from .index.table import load_table
 
-    return load_table(path)
+    return load_table(path, mmap=not in_memory)
 
 
 def _parse_rank(name: str) -> int:
@@ -226,7 +230,7 @@ def _lookup_peptides(table, peptides: List[str], default_zero: bool):
 
 
 def cmd_pept2lca(args, stdin, stdout):
-    table = _load_table(args.fst_file)
+    table = _load_table(args.fst_file, in_memory=args.in_memory)
     for rec in fasta.read_records(stdin, unwrap=False):
         res = _lookup_peptides(table, rec.sequence, args.one_on_one)
         stdout.write(f">{rec.header}\n")
@@ -256,7 +260,7 @@ def _stream_prot2kmer2lca(table, k: int, default_zero: bool, stdin, stdout):
 
 
 def cmd_prot2kmer2lca(args, stdin, stdout):
-    table = _load_table(args.fst_file)
+    table = _load_table(args.fst_file, in_memory=args.in_memory)
     k = args.length
     if args.socket:
         import socket as socketlib
@@ -281,7 +285,7 @@ def cmd_prot2kmer2lca(args, stdin, stdout):
 
 
 def cmd_prot2tryp2lca(args, stdin, stdout):
-    table = _load_table(args.fst_file)
+    table = _load_table(args.fst_file, in_memory=args.in_memory)
     contains = set(args.keep)
     lacks = set(args.drop)
     for rec in fasta.read_records(stdin, unwrap=False):
@@ -665,12 +669,12 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = sub.add_parser("pept2lca", help="Look up peptides in an index")
     sp.add_argument("-o", "--one-on-one", action="store_true")
-    # -m/-c are the reference's mmap-vs-RAM and thread-chunking knobs
-    # (src/commands/pept2lca.rs:58-69); accepted for pipeline
-    # compatibility, no-ops here (tables always load into memory and
-    # lookups are batched wholesale)
+    # -m/-c mirror the reference's mmap-vs-RAM and thread-chunking knobs
+    # (src/commands/pept2lca.rs:58-69); mmap is the default load mode
+    # here too, -c is a no-op (lookups are batched wholesale)
     sp.add_argument("-m", "--in-memory", action="store_true",
-                    help="compatibility no-op (always in memory)")
+                    help="load the index into RAM instead of "
+                         "memory-mapping it")
     sp.add_argument("-c", "--chunksize", type=int, default=240,
                     help="compatibility no-op (lookups are batched)")
     sp.add_argument("fst_file")
@@ -1062,10 +1066,13 @@ def _read_groups_fasta(path: str, delimiter: str = "/"):
             yield header, [rec.sequence[0] if rec.sequence else ""]
 
 
-# Sequences longer than the top width bucket are clipped (with a
-# warning); covers full Illumina / long-read amplicon ranges.  The
-# tryptic presets re-route longer records through the host-digest path
-# instead (see _run_sample_fallback).
+# Top device width bucket (covers full Illumina / long-read amplicon
+# ranges).  Records beyond it are NOT clipped: the sample re-routes
+# through the fallback reader, which sends oversized records through an
+# exact host path (the reference is exact at any record length,
+# src/io/fasta.rs:62-64) and everything else through the device
+# programs.  The tryptic presets re-route through the host-digest path
+# the same way.
 ANALYSE_WIDTH_CAP = 4096
 
 
@@ -1091,10 +1098,64 @@ def _analyse_width_ladder(read_length: int):
     return ladder
 
 
-class _LongTrypticSample(Exception):
+class _SampleReroute(Exception):
+    """The native streaming path met a record it cannot handle exactly;
+    the sample restarts through the fallback reader (emitted-prefix
+    skip keeps already-written reads intact)."""
+
+
+class _LongTrypticSample(_SampleReroute):
     """Tryptic sample holds records beyond read_length: the device
     digest's compile cost scales with width, so re-route the sample
     through the host-digest + device-probe path."""
+
+
+class _LongNinemerSample(_SampleReroute):
+    """9-mer sample holds records beyond the top width bucket: re-route
+    so oversized records run the exact host path instead of clipping."""
+
+
+def _analyse_long_group_host(seqs, config, ends: int, stax, stable_,
+                             aux_cache: dict) -> int:
+    """Consensus taxon for ONE read group containing records beyond the
+    device width cap: host 6-frame translation + vectorized host table
+    probe + host seedextend + host taxa2agg — the exact composition of
+    the reference pipeline (translate -a | prot2kmer2lca -o |
+    seedextend | uniq | taxa2agg) at unbounded record length."""
+    table = encoding.get_table(config.table_number)
+    hits: List[int] = []
+    for seq in seqs[:ends]:
+        for pep in transmod.translate_sequence(
+                seq, transmod.FRAME_NAMES, table):
+            if len(pep) < config.k:
+                continue  # prot2kmer2lca skips records shorter than k
+            packed = kmerops.pack_kmers_host(
+                encoding.encode_aa(pep), config.k)
+            hi, lo = kmerops.split_packed(packed)
+            vals, found = stable_.probe_host(hi, lo)
+            taxa = [int(v) if f else 0 for v, f in zip(vals, found)]
+            hits.extend(seedmod.apply_seedextend(
+                taxa, config.min_seed_size, config.max_gap_size,
+                None, config.penalty))
+    counts = agg_host.count((t, 1.0) for t in hits if t != 0)
+    counts = agg_host.filter_counts(counts, config.lower_bound)
+    if not counts:
+        return 1
+    key = ("host_agg", config.method, config.strategy, config.factor)
+    aggregator = aux_cache.get(key)
+    if aggregator is None:
+        aggregator = agg_host.make_aggregator(
+            stax, config.method, config.strategy, config.factor)
+        aux_cache[key] = aggregator
+    skey = ("host_snap",)
+    snapping = aux_cache.get(skey)
+    if snapping is None:
+        snapping = stax.snapping(False)
+        aux_cache[skey] = snapping
+    snapped = snapping[aggregator.aggregate(counts)]
+    if snapped == NONE:
+        raise CliError("Unsnappable taxon in long-record path")
+    return int(snapped)
 
 
 def cmd_analyse(args, stdin, stdout):
@@ -1196,7 +1257,9 @@ def cmd_analyse(args, stdin, stdout):
             raise CliError(
                 f"{manifest['n_shards']} shards cannot be grouped onto "
                 f"the {n_dev}-device mesh (must divide evenly)")
-        shards = distbuild.load_shards(workdir)
+        # mmap: pages stream disk -> packed rows -> HBM, so cold-start
+        # is bounded by the transfer, not an upfront artifact read
+        shards = distbuild.load_shards(workdir, mmap=True)
         stables[False] = ShardedTable.from_shards(shards, mesh,
                                                   axis=mesh_axis)
         return manifest.get("taxons")
@@ -1241,7 +1304,7 @@ def cmd_analyse(args, stdin, stdout):
         if tax is None:
             tax = _load_taxonomy(taxons_path)
         if tryptic not in tables:
-            table = _load_table(index_path)
+            table = _load_table(index_path, in_memory=False)
             if (table.kind == "peptide") != tryptic:
                 # a pinned --index of the wrong family would otherwise
                 # probe garbage and silently emit taxon 1 everywhere
@@ -1330,15 +1393,14 @@ def cmd_analyse(args, stdin, stdout):
         n_hint = total if exhausted else 1 << 60
 
         analyser = None
-        warned = False
         for headers, dna, lens, tmax in itertools.chain(buffered, chunks):
             Lw = dna.shape[-1]
             if tryptic and tmax > args.read_length:
                 raise _LongTrypticSample
-            if tmax > ladder[-1] and not warned:
-                log(f"Warning: records up to {tmax} bp exceed the "
-                    f"{ladder[-1]} bp width cap and are clipped.")
-                warned = True
+            if tmax > ladder[-1]:
+                # beyond the top device width bucket: re-route so the
+                # oversized records run the exact host path (never clip)
+                raise _LongNinemerSample
             if analyser is None or Lw > analyser.read_length:
                 if analyser is not None:
                     verbose(f"read-length bucket {analyser.read_length} -> "
@@ -1391,11 +1453,41 @@ def cmd_analyse(args, stdin, stdout):
                     step_cache=aux_cache))
                 return
         ladder = _analyse_width_ladder(args.read_length)
-        maxlen = max((len(s) for _h, ss in groups for s in ss), default=0)
+        cap = ladder[-1]
+        long_idx = [i for i, (_h, ss) in enumerate(groups)
+                    if max((len(s) for s in ss), default=0) > cap]
+        long_results: dict = {}
+        if long_idx:
+            if stable_ is None:
+                raise CliError(
+                    "records beyond the device width cap need the host "
+                    "table for the exact long-read path; --shards mode "
+                    "cannot serve them (pass --index instead)")
+            verbose(f"{len(long_idx)} record group(s) beyond {cap} bp: "
+                    "exact host path")
+            config = (TRYPTIC_PRESETS if tryptic else PRESETS)[preset]
+            for i in long_idx:
+                long_results[i] = _analyse_long_group_host(
+                    groups[i][1], config, ends, stax, stable_, aux_cache)
+        short = [g for i, g in enumerate(groups) if i not in long_results]
+        maxlen = max((len(s) for _h, ss in short for s in ss), default=0)
         L = next((w for w in ladder if w >= maxlen), ladder[-1])
-        B = _pow2_bucket(len(groups), 64, batch_cap(L))
+        B = _pow2_bucket(len(short), 64, batch_cap(L))
         analyser = get_analyser(preset, tryptic, B, L, ends, stax, stable_)
-        yield from _batchify(analyser.analyse_groups(groups))
+        if not long_results:
+            yield from _batchify(analyser.analyse_groups(short))
+            return
+        # merge host-path results back in input order
+        short_res = iter(analyser.analyse_groups(short))
+
+        def merged():
+            for i, (header, _seqs) in enumerate(groups):
+                if i in long_results:
+                    yield header, long_results[i]
+                else:
+                    yield next(short_res)
+
+        yield from _batchify(merged())
 
     def raw_read_records(sample):
         """(full header, dna) records for the FGSpp front end — headers
@@ -1496,7 +1588,7 @@ def cmd_analyse(args, stdin, stdout):
                     emitted += len(hs)
                     yield hs, ts
                 return
-            except (StreamUnsupported, _LongTrypticSample):
+            except (StreamUnsupported, _SampleReroute):
                 # Restart the sample through the fallback reader.  Reads
                 # already emitted were parsed and analysed correctly
                 # (the trigger sits strictly after them in the stream),

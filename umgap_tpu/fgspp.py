@@ -77,19 +77,28 @@ def predict_genes(binary: str, train: str,
     writer.start()
     header = None
     seq: List[str] = []
-    for raw in proc.stdout:
-        line = raw.decode().rstrip("\n")
-        if line.startswith(">"):
-            if header is not None:
-                yield header, "".join(seq)
-            header = line[1:]
-            seq = []
-        elif header is not None:
-            seq.append(line)
-    if header is not None:
-        yield header, "".join(seq)
-    writer.join()
-    rc = proc.wait()
+    done = False
+    try:
+        for raw in proc.stdout:
+            line = raw.decode().rstrip("\n")
+            if line.startswith(">"):
+                if header is not None:
+                    yield header, "".join(seq)
+                header = line[1:]
+                seq = []
+            elif header is not None:
+                seq.append(line)
+        if header is not None:
+            yield header, "".join(seq)
+        done = True
+    finally:
+        if not done:
+            # the consumer abandoned the generator (downstream error or
+            # GeneratorExit): kill FGSpp so the process and the writer
+            # thread don't linger until interpreter exit
+            proc.kill()
+        writer.join()
+        rc = proc.wait()
     if feed_error:
         raise feed_error[0]
     if rc != 0:

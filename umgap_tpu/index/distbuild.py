@@ -508,15 +508,18 @@ def drive(workdir: str, tsv: Optional[str], taxons: Optional[str],
     return manifest
 
 
-def load_shards(workdir: str):
+def load_shards(workdir: str, mmap: bool = False):
     """The built artifacts, ready for ShardedTable.from_shards (serving)
-    or single-host concatenated probing."""
+    or single-host concatenated probing.  ``mmap`` maps the slot arrays
+    instead of reading them (the shards are saved uncompressed for
+    exactly this), so serve-time cold-start streams pages disk -> packed
+    rows -> HBM without first materializing every artifact in RAM."""
     from .table import load_table
 
     with open(os.path.join(workdir, "manifest.json")) as f:
         manifest = json.load(f)
     return [load_table(os.path.join(workdir, "shards",
-                                    f"shard_{s:03d}.npz"))
+                                    f"shard_{s:03d}.npz"), mmap=mmap)
             for s in range(manifest["n_shards"])]
 
 

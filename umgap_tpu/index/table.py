@@ -744,13 +744,62 @@ def build_kmer_table(packed: np.ndarray, values: np.ndarray, k: int,
 # PeptideTable (fingerprinted, variable-length keys)
 # ---------------------------------------------------------------------- #
 
+class FingerprintCollision(ValueError):
+    """Two DISTINCT indexed peptides share a 64-bit fingerprint.
+
+    The reference's FST is exact by construction; the fingerprint table
+    is exact *for indexed keys* because every build runs this check
+    (expected never at realistic sizes: ~n^2/2^65, < 1e-4 at 100M keys
+    — but a guarantee beats a bound).  Queried NON-indexed peptides
+    retain the probabilistic ~n/2^64 per-query false-positive bound,
+    documented in PARITY.md."""
+
+
+def _check_fingerprint_collisions(peptides, hi: np.ndarray,
+                                  lo: np.ndarray) -> None:
+    """Exact-confirm pass: any two distinct key strings sharing a
+    fingerprint abort the build (identical duplicates are the caller's
+    semantics and pass through unchanged)."""
+    if len(peptides) < 2:
+        return
+    key = ((hi.view(np.uint32).astype(np.uint64) << np.uint64(32))
+           | lo.view(np.uint32).astype(np.uint64))
+    order = np.argsort(key, kind="stable")
+    dup = np.flatnonzero(key[order][1:] == key[order][:-1])
+    if not len(dup):
+        return
+
+    def as_str(p):
+        if isinstance(p, str):
+            return p
+        if isinstance(p, bytes):
+            return p.decode()
+        return encoding.decode_aa(np.asarray(p, dtype=np.uint8))
+
+    bad = []
+    for i in dup:
+        a, b = order[i], order[i + 1]
+        pa, pb = as_str(peptides[a]), as_str(peptides[b])
+        if pa != pb:
+            bad.append((pa, pb))
+    if bad:
+        raise FingerprintCollision(
+            f"{len(bad)} fingerprint collision(s) between distinct "
+            f"peptides, first: {bad[0][0]!r} vs {bad[0][1]!r}; the "
+            "index would return wrong taxa for these keys")
+
+
 class PeptideTable:
     """Variable-length peptide table keyed by 64-bit fingerprints.
 
     When ``store_keys`` (default), the original key strings are kept in
     the artifact so ``printindex`` can stream them back (the FST does
     this intrinsically; we store a newline-joined blob).
-    """
+
+    Every build runs an exact-confirm pass over the fingerprints
+    (:func:`_check_fingerprint_collisions`), so lookups of INDEXED keys
+    are exact like the reference's FST — a collision aborts the build
+    instead of silently merging two peptides' taxa."""
 
     kind = "peptide"
 
@@ -780,6 +829,7 @@ class PeptideTable:
         sharded build so every shard's rows stay rectangular."""
         peptides = list(peptides)
         hi, lo = _fingerprints(peptides)
+        _check_fingerprint_collisions(peptides, hi, lo)
         cap = capacity or _pow2_capacity(len(values), load_factor, 64)
         n_buckets = max(cap // BUCKET, 1)
         bucket0 = (hash32(hi, lo) & np.uint32(n_buckets - 1)).astype(np.int64)
@@ -851,9 +901,73 @@ class PeptideTable:
         return load_table(path)
 
 
-def load_table(path):
-    """Load either table kind from an .npz artifact."""
-    z = np.load(path, allow_pickle=False)
+def mmap_npz(path):
+    """Memory-map the arrays of an UNCOMPRESSED .npz in place.
+
+    ``np.load(mmap_mode=...)`` ignores mmap for .npz members, so serving
+    cold-starts would otherwise materialize multi-GB artifacts through a
+    full read.  Uncompressed npz members are raw .npy blobs at fixed
+    offsets inside the zip; this maps each one directly — the analogue
+    of the reference's default mmap'd FST load
+    (/root/reference/src/commands/pept2lca.rs:74-79: `-m` opts INTO a
+    RAM load; mmap is the default).  Raises ValueError on compressed
+    members (callers fall back to a full load)."""
+    import zipfile
+
+    out = {}
+    with zipfile.ZipFile(path) as zf, open(path, "rb") as f:
+        for info in zf.infolist():
+            if info.compress_type != zipfile.ZIP_STORED:
+                raise ValueError(
+                    f"{info.filename} is deflated; mmap needs an "
+                    "uncompressed npz (np.savez, not savez_compressed)")
+            # local file header: 30 fixed bytes + name + extra
+            f.seek(info.header_offset)
+            hdr = f.read(30)
+            nlen = int.from_bytes(hdr[26:28], "little")
+            elen = int.from_bytes(hdr[28:30], "little")
+            f.seek(info.header_offset + 30 + nlen + elen)
+            version = np.lib.format.read_magic(f)
+            if version == (1, 0):
+                shape, fortran, dtype = \
+                    np.lib.format.read_array_header_1_0(f)
+            else:
+                shape, fortran, dtype = \
+                    np.lib.format.read_array_header_2_0(f)
+            if dtype.hasobject:
+                raise ValueError("object arrays cannot be mmapped")
+            name = info.filename
+            if name.endswith(".npy"):
+                name = name[: -len(".npy")]
+            out[name] = np.memmap(path, dtype=dtype, mode="r",
+                                  offset=f.tell(), shape=shape,
+                                  order="F" if fortran else "C")
+    return out
+
+
+class _MmapNpz(dict):
+    """dict of memmaps quacking enough like an NpzFile for load_table."""
+
+    @property
+    def files(self):
+        return list(self.keys())
+
+
+def load_table(path, mmap: bool = False):
+    """Load either table kind from an .npz artifact.
+
+    ``mmap=True`` memory-maps the slot arrays instead of reading them
+    (uncompressed artifacts only — the distributed build's serving
+    shards are; compressed artifacts silently fall back to a full
+    load).  Cold-start is then bounded by the device transfer, which
+    faults pages straight from the file."""
+    if mmap:
+        try:
+            z = _MmapNpz(mmap_npz(path))
+        except ValueError:
+            z = np.load(path, allow_pickle=False)
+    else:
+        z = np.load(path, allow_pickle=False)
     kind = bytes(z["kind"]).decode()
     meta = {k[len("meta_"):]: int(z[k]) for k in z.files if k.startswith("meta_")}
     if kind == "kmer":
