@@ -1359,6 +1359,60 @@ def cmd_analyse(args, stdin, stdout):
         # shrink batches as length buckets grow (bounded device batch)
         return max(64, (args.batch_size * args.read_length) // L)
 
+    def run_sample_ring(sample, preset, tryptic, stax, stable_):
+        """Fastest ingest: the C++ producer thread parses + encodes +
+        4-bit-packs reads into ready device batches (GIL-free); this
+        loop only dispatches and drains.  Yields ((hdr_blob, offsets),
+        taxa) batches — formatted natively on the output side.  Records
+        beyond --read-length re-route to the ladder/chunk path."""
+        from .io import native
+        from .io.native import NativeBatchStream, StreamUnsupported
+
+        if not native.available() or not hasattr(
+                native._lib, "umgap_stream_open"):
+            raise StreamUnsupported("native stream unavailable")
+        paired = bool(sample["second"])
+        ends = 2 if paired else 1
+        fmt = "fastq" if paired else "fasta"
+        L = args.read_length
+        B = max(64, args.batch_size)
+        stream = NativeBatchStream(sample["first"], sample["second"],
+                                   fmt, L, B)
+        try:
+            first = stream.next()
+            if first is None:
+                return
+            second = stream.next()  # is the sample one batch long?
+            if second is None and first[0] < B:
+                B_an = _pow2_bucket(first[0], 64, B)
+            else:
+                B_an = B
+            analyser = get_analyser(preset, tryptic, B_an, L, ends,
+                                    stax, stable_)
+            B_an = analyser.batch_size  # sharded meshes may round up
+
+            def fit(dna4, lens):
+                if B_an <= dna4.shape[0]:
+                    return dna4[:B_an], lens[:B_an]
+                pad = B_an - dna4.shape[0]
+                return (np.pad(dna4, ((0, pad), (0, 0), (0, 0)),
+                               constant_values=0x44),
+                        np.pad(lens, ((0, pad), (0, 0))))
+
+            batches = itertools.chain(
+                [first] if second is None else [first, second],
+                iter(stream.next, None))
+            for n, dna4, lens, blob, offs, tmax in batches:
+                if tmax > L:
+                    if tryptic:
+                        raise _LongTrypticSample
+                    raise _LongNinemerSample
+                d4, ln = fit(dna4, lens)
+                yield from analyser.feed_packed((blob, offs), d4, ln, n)
+            yield from analyser.finish_batches()
+        finally:
+            stream.close()
+
     def run_sample_stream(sample, preset, tryptic, stax, stable_):
         """Native streaming path; yields (headers, taxa) batches in
         input order."""
@@ -1578,33 +1632,42 @@ def cmd_analyse(args, stdin, stdout):
             native_ok = native.ensure_built()
         except (OSError, RuntimeError):
             native_ok = False
-        emitted = 0
-        if native_ok:
-            from .io.native import StreamUnsupported
+        from .io.native import StreamUnsupported
 
+        # Tiered ingest: ring stream (C++ producer thread, packed wire)
+        # -> chunked native stream (width ladders) -> Python reader.  A
+        # tier that meets input it cannot handle exactly re-raises and
+        # the next tier restarts the sample; reads already emitted were
+        # parsed and analysed correctly (the trigger sits strictly
+        # after them in the stream), and all tiers are order-preserving
+        # and per-read deterministic — so the rerun skips that prefix.
+        tiers = ([run_sample_ring, run_sample_stream] if native_ok
+                 else []) + [run_sample_fallback]
+        emitted = 0
+        for tier_i, tier in enumerate(tiers):
+            last = tier_i == len(tiers) - 1
+            skip = emitted
             try:
-                for hs, ts in run_sample_stream(sample, preset, tryptic,
-                                                stax, stable_):
-                    emitted += len(hs)
+                for hs, ts in tier(sample, preset, tryptic, stax, stable_):
+                    n = len(ts) if isinstance(hs, tuple) else len(hs)
+                    if skip >= n:
+                        skip -= n
+                        continue
+                    if skip:
+                        # blob-header batches are never re-emitted with
+                        # a partial skip (the ring tier runs first), so
+                        # slicing lists here is always well-defined
+                        hs, ts = hs[skip:], ts[skip:]
+                        skip = 0
+                        n = len(ts) if isinstance(hs, tuple) else len(hs)
+                    emitted += n
                     yield hs, ts
                 return
             except (StreamUnsupported, _SampleReroute):
-                # Restart the sample through the fallback reader.  Reads
-                # already emitted were parsed and analysed correctly
-                # (the trigger sits strictly after them in the stream),
-                # and both paths are order-preserving and per-read
-                # deterministic — so skip that prefix of the rerun.
+                if last:
+                    raise
                 for a in analysers.values():
                     a.reset()
-        for hs, ts in run_sample_fallback(sample, preset, tryptic, stax,
-                                          stable_):
-            if emitted >= len(hs):
-                emitted -= len(hs)
-                continue
-            if emitted:
-                hs, ts = hs[emitted:], ts[emitted:]
-                emitted = 0
-            yield hs, ts
 
     import time as _time
 
@@ -1620,9 +1683,18 @@ def cmd_analyse(args, stdin, stdout):
         def write_all(handle):
             # one join per result batch (identical bytes to
             # fasta.Writer's ">hdr\ntaxon\n" records, without the
-            # per-record call overhead)
+            # per-record call overhead); ring-stream batches arrive as
+            # (header blob, offsets) and format natively in one call
             n = 0
             for hs, ts in results:
+                if isinstance(hs, tuple):
+                    from .io import native as native_io
+
+                    blob, offs = hs
+                    handle.write(
+                        native_io.format_output(blob, offs, ts).decode())
+                    n += len(ts)
+                    continue
                 if hasattr(ts, "tolist"):
                     ts = ts.tolist()
                 handle.write("".join(

@@ -74,6 +74,30 @@ def ensure_built(quiet: bool = True) -> bool:
             ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_int64),
             ctypes.c_longlong,
         ]
+    if hasattr(lib, "umgap_stream_open"):
+        lib.umgap_stream_open.restype = ctypes.c_void_p
+        lib.umgap_stream_open.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_char,
+        ]
+        lib.umgap_stream_next.restype = ctypes.c_longlong
+        lib.umgap_stream_next.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_ubyte)),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_longlong)),
+            ctypes.POINTER(ctypes.c_longlong),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.umgap_stream_close.restype = None
+        lib.umgap_stream_close.argtypes = [ctypes.c_void_p]
+        lib.umgap_format_output.restype = ctypes.c_longlong
+        lib.umgap_format_output.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_longlong),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_longlong,
+            ctypes.c_char_p, ctypes.c_longlong,
+        ]
     if hasattr(lib, "umgap_join_kmers"):
         lib.umgap_join_kmers.restype = ctypes.c_longlong
         lib.umgap_join_kmers.argtypes = [
@@ -342,6 +366,98 @@ def stream_parse(path: str, fmt: str, max_len: int = 160,
                 yield out
             if eof and not tail:
                 return
+
+
+# ---------------------------------------------------------------------- #
+# Ring-buffer batch stream (GIL-free producer thread)
+# ---------------------------------------------------------------------- #
+
+class NativeBatchStream:
+    """C++-threaded batch assembly: the producer parses (possibly
+    gzipped) FASTQ/FASTA, encodes + 4-bit-packs reads straight into a
+    ring of pre-allocated device-wire batches; ``next()`` blocks with
+    the GIL RELEASED (ctypes) until a batch is ready.  Python never
+    touches a record — only whole-batch numpy views and one header
+    blob per batch.
+
+    Yields (n, dna4 (n<=B, E, pw), lens (B, E), hdr_blob bytes,
+    hoff int64 array, true_max).  Arrays are COPIES (the slot recycles
+    on the next call; in-flight device transfers and overflow reroutes
+    outlive it)."""
+
+    def __init__(self, path1: str, path2: Optional[str], fmt: str,
+                 read_length: int, batch: int, n_slots: int = 4,
+                 delimiter: str = "/"):
+        if not available() or not hasattr(_lib, "umgap_stream_open"):
+            raise RuntimeError("native stream unavailable")
+        self.ends = 2 if path2 else 1
+        self.batch = batch
+        self.read_length = read_length
+        self.pw = (read_length + 1) // 2
+        self._h = _lib.umgap_stream_open(
+            path1.encode(), path2.encode() if path2 else None,
+            {"fastq": 0, "fasta": 1}[fmt], read_length, batch,
+            self.ends, n_slots, delimiter.encode())
+        if not self._h:
+            raise RuntimeError("native stream open failed")
+
+    def next(self):
+        """One batch, or None at clean EOF. Raises StreamUnsupported
+        (caller falls back) or OSError."""
+        dna = ctypes.POINTER(ctypes.c_ubyte)()
+        lens = ctypes.POINTER(ctypes.c_int32)()
+        hdr = ctypes.c_char_p()
+        hoff = ctypes.POINTER(ctypes.c_longlong)()
+        hlen = ctypes.c_longlong()
+        tmax = ctypes.c_int()
+        n = _lib.umgap_stream_next(
+            self._h, ctypes.byref(dna), ctypes.byref(lens),
+            ctypes.byref(hdr), ctypes.byref(hoff), ctypes.byref(hlen),
+            ctypes.byref(tmax))
+        if n == 0:
+            return None
+        if n == -2:
+            raise StreamUnsupported(
+                "input shape defeats the native batch stream")
+        if n < 0:
+            raise OSError("native stream read error")
+        B, E, pw = self.batch, self.ends, self.pw
+        dna4 = np.ctypeslib.as_array(dna, shape=(B, E, pw)).copy()
+        ln = np.ctypeslib.as_array(lens, shape=(B, E)).copy()
+        blob = ctypes.string_at(hdr, hlen.value) if hlen.value else b""
+        offs = np.ctypeslib.as_array(hoff, shape=(int(n) + 1,)).astype(
+            np.int64)
+        return int(n), dna4, ln, blob, offs, int(tmax.value)
+
+    def close(self):
+        if self._h:
+            _lib.umgap_stream_close(self._h)
+            self._h = None
+
+    def __del__(self):  # noqa: D105 — belt-and-braces cleanup
+        try:
+            self.close()
+        except Exception:  # noqa: BLE001 — interpreter teardown
+            pass
+
+
+def format_output(blob: bytes, hoff: np.ndarray,
+                  taxa: np.ndarray) -> bytes:
+    """(header blob, offsets, taxa) -> b'>hdr\\ntaxon\\n' per record."""
+    if not available() or not hasattr(_lib, "umgap_format_output"):
+        raise RuntimeError("native formatter unavailable")
+    n = len(hoff) - 1
+    taxa = np.ascontiguousarray(taxa, dtype=np.int32)
+    hoff = np.ascontiguousarray(hoff, dtype=np.int64)
+    cap = int(hoff[-1]) + n * 14
+    out = ctypes.create_string_buffer(cap)
+    w = _lib.umgap_format_output(
+        blob, hoff.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+        taxa.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        n, out, cap)
+    if w > cap:
+        raise RuntimeError("formatter capacity miscomputed")
+    return out.raw[: int(w)]
 
 
 def split_kmers_tsv(data: bytes, k: int = 9,

@@ -623,26 +623,41 @@ def make_sharded_stream_analyser(tax, stable: ShardedTable, config,
             return self.step(jax.device_put(encoding.pack_dna4(dna)),
                              jax.device_put(lens))
 
+        def _dispatch_packed(self, dna4, lens):
+            return self.step(jax.device_put(dna4), jax.device_put(lens))
+
+        def _reroute_overflow(self, taxa, idx, rows_packed, lens):
+            self.overflow_reads += len(idx)
+            wide = self._wide()
+            # wide batches are tiny but must divide over the mesh
+            W = max(n_dev, (64 // n_dev) * n_dev)
+            for s in range(0, len(idx), W):
+                sel = idx[s : s + W]
+                nd = np.ascontiguousarray(rows_packed[sel])
+                nl = np.ascontiguousarray(lens[sel])
+                if len(sel) < W:
+                    nd = np.pad(nd, ((0, W - len(sel)), (0, 0), (0, 0)),
+                                constant_values=0x44)
+                    nl = np.pad(nl, ((0, W - len(sel)), (0, 0)))
+                out, _f = wide(jnp.asarray(nd), jnp.asarray(nl))
+                taxa[sel] = np.array(out)[: len(sel)]
+            return taxa
+
         def _finalize(self, handle, dna, lens, n):
             taxa = np.array(handle[0])
             over = np.asarray(handle[2])
             idx = np.nonzero(over[:n])[0]
             if len(idx):
-                self.overflow_reads += len(idx)
-                wide = self._wide()
-                # wide batches are tiny but must divide over the mesh
-                W = max(n_dev, (64 // n_dev) * n_dev)
-                for s in range(0, len(idx), W):
-                    sel = idx[s : s + W]
-                    nd = np.ascontiguousarray(dna[sel])
-                    nl = np.ascontiguousarray(lens[sel])
-                    if len(sel) < W:
-                        nd = np.pad(nd, ((0, W - len(sel)), (0, 0), (0, 0)),
-                                    constant_values=encoding.DNA_N)
-                        nl = np.pad(nl, ((0, W - len(sel)), (0, 0)))
-                    out, _f = wide(jnp.asarray(encoding.pack_dna4(nd)),
-                                   jnp.asarray(nl))
-                    taxa[sel] = np.array(out)[: len(sel)]
+                taxa = self._reroute_overflow(
+                    taxa, idx, encoding.pack_dna4(dna), lens)
+            return taxa
+
+        def _finalize_packed(self, handle, dna4, lens, n):
+            taxa = np.array(handle[0])
+            over = np.asarray(handle[2])
+            idx = np.nonzero(over[:n])[0]
+            if len(idx):
+                taxa = self._reroute_overflow(taxa, idx, dna4, lens)
             return taxa
 
     return _Sharded()

@@ -96,6 +96,29 @@ class BatchStream:
     def _finalize(self, handle, dna, lens, n) -> np.ndarray:
         raise NotImplementedError
 
+    # -- pre-packed fast path (native ring stream) ----------------------- #
+    # The C++ producer thread delivers batches already in the 4-bit
+    # device wire format, so the host loop is just dispatch + drain:
+    # no per-record Python, no numpy pack.
+
+    def _dispatch_packed(self, dna4: np.ndarray, lens: np.ndarray):
+        raise NotImplementedError
+
+    def _finalize_packed(self, handle, dna4, lens, n) -> np.ndarray:
+        raise NotImplementedError
+
+    def feed_packed(self, headers, dna4: np.ndarray, lens: np.ndarray,
+                    n: int):
+        """Queue ONE pre-packed batch (rows beyond ``n`` are padding).
+        ``headers`` may be any token carried through to the output side
+        (the CLI passes a (blob, offsets) pair for native formatting).
+        Yields completed (headers, taxa[:n]) batches."""
+        with self.timer.stage("dispatch"):
+            handle = self._dispatch_packed(dna4, lens)
+        self._inflight.append((headers, dna4, lens, n, handle, True))
+        while len(self._inflight) > self.depth:
+            yield self._emit_batch(self._inflight.pop(0))
+
     # -- streaming ------------------------------------------------------- #
 
     def _norm(self, dna: np.ndarray, lens: np.ndarray):
@@ -111,8 +134,11 @@ class BatchStream:
         return dna, np.minimum(lens, L)
 
     def _emit_batch(self, item):
-        headers, dna, lens, n, handle = item
-        taxa = self._finalize(handle, dna, lens, n)
+        headers, dna, lens, n, handle, packed = item
+        if packed:
+            taxa = self._finalize_packed(handle, dna, lens, n)
+        else:
+            taxa = self._finalize(handle, dna, lens, n)
         return headers, taxa[:n]
 
     def _emit(self, item):
@@ -129,7 +155,7 @@ class BatchStream:
             lens = np.pad(lens, ((0, B - n), (0, 0)))
         with self.timer.stage("dispatch"):
             handle = self._dispatch(dna, lens)
-        self._inflight.append((headers, dna, lens, n, handle))
+        self._inflight.append((headers, dna, lens, n, handle, False))
 
     def _take_batch(self):
         """Pop exactly batch_size rows off the pending blocks."""
@@ -325,6 +351,38 @@ class Analyser(BatchStream):
         if overflow[:n].any():
             with self.timer.stage("overflow_fallback"):
                 taxa = self._resolve_overflow(dna, lens, taxa, overflow)
+        return taxa
+
+    def _dispatch_packed(self, dna4, lens):
+        import jax
+
+        return self.step(jax.device_put(dna4), jax.device_put(lens),
+                         self.read_length)
+
+    def _finalize_packed(self, handle, dna4, lens, n):
+        with self.timer.stage("materialize"):
+            taxa = np.array(handle[0])
+            overflow = np.asarray(handle[1])
+        overflow = overflow.copy()
+        overflow[n:] = False
+        idx = np.nonzero(overflow)[0]
+        if len(idx):
+            with self.timer.stage("overflow_fallback"):
+                # packing is per-row, so packed row slices feed the wide
+                # program directly; pad rows are two N codes = 0x44
+                self.overflow_reads += len(idx)
+                wide = self._wide()
+                W = self._wide_batch
+                for s in range(0, len(idx), W):
+                    sel = idx[s : s + W]
+                    nd = np.ascontiguousarray(dna4[sel])
+                    nl = np.ascontiguousarray(lens[sel])
+                    if len(sel) < W:
+                        nd = np.pad(nd, ((0, W - len(sel)), (0, 0), (0, 0)),
+                                    constant_values=0x44)
+                        nl = np.pad(nl, ((0, W - len(sel)), (0, 0)))
+                    out = np.asarray(wide(nd, nl, self.read_length))
+                    taxa[sel] = out[: len(sel)]
         return taxa
 
     # -- convenience entry points ---------------------------------------- #
