@@ -316,10 +316,14 @@ def main():
                           if e2e_pairs_per_s is not None else
                           "device_resident_wire_unavailable")
         e2e_pairs_per_s = device_pairs_per_s
+        # the metric NAME carries the basis switch so a non-e2e headline
+        # can never be misread as an end-to-end measurement
+        metric = "high_sensitivity_pairs_per_s_device_resident"
     else:
         headline_basis = "wire_e2e"
+        metric = "high_sensitivity_pairs_per_s"
     result = {
-        "metric": "high_sensitivity_pairs_per_s",
+        "metric": metric,
         "value": round(e2e_pairs_per_s, 1),
         "unit": "read pairs/s",
         # denominator: measured C++ run of the same pipeline through the
