@@ -438,6 +438,89 @@ long long umgap_insert_bucketized(
     return (long long)pending.size();
 }
 
+// Conveyor placement for the dense 2-round (distance <= 1) geometry:
+// carried keys take priority in their overflow bucket, home arrivals
+// displaced become the next bucket's carry — the optimal left-to-right
+// flow for at-most-one-bucket displacement (near-zero stash up to ~0.9
+// load, vs ~0.45 for the round-based insertion above).  Tag semantics
+// and probe behavior are identical (distance tag 1 on displaced keys;
+// a bucket with an empty slot never has displaced/stashed keys).
+// Returns the stash count (indices in leftover).
+long long umgap_insert_conveyor(
+        const long long* bucket0, long long n,
+        const int32_t* p0, const int32_t* p1, const int32_t* p2,
+        long long cap, int bucket,
+        int32_t* out0, int32_t* out1, int32_t* out2,
+        long long* leftover, int* max_probes) {
+    const long long n_buckets = cap / bucket > 0 ? cap / bucket : 1;
+    // stable counting sort by home bucket
+    std::vector<long long> counts((size_t)n_buckets + 1, 0);
+    for (long long i = 0; i < n; i++) counts[(size_t)bucket0[i] + 1]++;
+    for (size_t b = 1; b < counts.size(); b++) counts[b] += counts[b - 1];
+    std::vector<long long> sorted((size_t)n);
+    {
+        std::vector<long long> cursor(counts.begin(), counts.end() - 1);
+        for (long long i = 0; i < n; i++)
+            sorted[(size_t)cursor[(size_t)bucket0[i]]++] = i;
+    }
+    *max_probes = 0;
+    long long n_stash = 0;
+    std::vector<long long> carry;
+    std::vector<long long> carry_next;
+    std::vector<int32_t> occ0_track(1, 0);  // bucket 0 occupancy (wrap)
+    int32_t occ_b0 = 0;
+
+    auto place = [&](long long idx, long long slot, int tag) {
+        int32_t v0 = p0[idx];
+        if (tag) v0 |= (int32_t)(1 << 30);
+        out0[slot] = v0;
+        if (p1) out1[slot] = p1[idx];
+        if (p2) out2[slot] = p2[idx];
+    };
+
+    for (long long b = 0; b < n_buckets; b++) {
+        int32_t occ = 0;
+        // carried keys (home b-1) first
+        size_t take = carry.size();
+        if ((long long)take > bucket) take = (size_t)bucket;
+        for (size_t j = 0; j < take; j++) {
+            place(carry[j], b * bucket + occ, 1);
+            occ++;
+        }
+        if (take) *max_probes = 1;
+        for (size_t j = take; j < carry.size(); j++)
+            leftover[n_stash++] = carry[j];
+        carry.clear();
+        // home arrivals
+        long long lo = counts[(size_t)b], hi = counts[(size_t)b + 1];
+        for (long long j = lo; j < hi; j++) {
+            if (occ < bucket) {
+                place(sorted[(size_t)j], b * bucket + occ, 0);
+                occ++;
+            } else {
+                carry.push_back(sorted[(size_t)j]);
+            }
+        }
+        if (b == 0) occ_b0 = occ;
+    }
+    // wrap: carry of the last bucket takes bucket 0's leftover room
+    {
+        int32_t occ = occ_b0;
+        for (size_t j = 0; j < carry.size(); j++) {
+            if (occ < bucket) {
+                place(carry[j], 0 * bucket + occ, 1);
+                occ++;
+                *max_probes = 1;
+            } else {
+                leftover[n_stash++] = carry[j];
+            }
+        }
+    }
+    (void)carry_next;
+    (void)occ0_track;
+    return n_stash;
+}
+
 }  // extern "C"
 
 // ------------------------------------------------------------------- //

@@ -257,6 +257,140 @@ def _insert_bucketized(bucket0: np.ndarray, payloads, cap: int,
     return outs, max_probes, pending
 
 
+def _insert_conveyor(bucket0: np.ndarray, payloads, cap: int,
+                     bucket: int = 16, use_native: bool = True):
+    """Distance-<=1 placement that maximizes occupancy.
+
+    The round-based insertion (:func:`_insert_bucketized`) fills every
+    home bucket FIRST and only then pushes leftovers one bucket right —
+    so a key carried from bucket b-1 competes with b's own arrivals
+    after they already took the slots, and the 256-slot stash overflows
+    near load 0.45-0.49 at 10^8-key shards.  Here carried keys take
+    priority in their overflow bucket (home arrivals displaced become
+    the next bucket's carry), which is the optimal left-to-right flow
+    for the at-most-one-bucket displacement scheme: a key reaches the
+    stash only when its home bucket's carry-in alone fills the bucket —
+    P ~ Poisson tail beyond 2x bucket size, i.e. effectively never below
+    ~0.9 load.  Probe semantics are IDENTICAL (same distance tags 0/1,
+    same early-exit invariant: a bucket with an empty slot never has
+    displaced or stashed keys), so tables stay exact and serve through
+    the unchanged 2-round probe.
+
+    Returns (outputs, max_probes, stash_indices) like
+    :func:`_insert_bucketized` with ``tag_distance=True``."""
+    if use_native and len(payloads) <= 3 and len(bucket0) >= 4096:
+        try:
+            from ..io.native import insert_conveyor_native
+
+            return insert_conveyor_native(bucket0, payloads, cap, bucket)
+        except (RuntimeError, OSError):
+            pass
+    n = len(bucket0)
+    nb = max(cap // bucket, 1)
+    outs = [np.full(cap, EMPTY if i == 0 else 0, dtype=np.int32)
+            for i in range(len(payloads))]
+    cnt = np.bincount(bucket0, minlength=nb).astype(np.int64)
+    # water-filling carry: c(b) = max(c(b-1) + cnt(b) - bucket, 0)
+    s = np.cumsum(cnt - bucket)
+    runmin = np.minimum.accumulate(s)
+    carry = s - np.minimum(runmin, 0)
+    carry = np.maximum(carry, 0)
+    if n and carry.max() > bucket:
+        # a single bucket's carry exceeds a whole bucket (possible only
+        # far beyond any sized load): exact sequential sweep
+        return _insert_conveyor_slow(bucket0, payloads, cap, bucket, outs)
+    c_in = np.concatenate([[0], carry[:-1]])
+    placed_home = cnt - carry
+    # stable order within buckets
+    order = np.argsort(bucket0, kind="stable")
+    b_sorted = bucket0[order]
+    starts = np.searchsorted(b_sorted, np.arange(nb))
+    rank = np.arange(n, dtype=np.int64) - starts[b_sorted]
+    home = rank < placed_home[b_sorted]
+    slot = np.empty(n, dtype=np.int64)
+    slot[home] = (b_sorted[home] * bucket + c_in[b_sorted[home]]
+                  + rank[home])
+    pushed_pos = np.nonzero(~home)[0]  # sorted positions of pushed keys
+    pr = rank[pushed_pos] - placed_home[b_sorted[pushed_pos]]
+    tgt = (b_sorted[pushed_pos] + 1) % nb
+    pslot = tgt * bucket + pr
+    keep = np.ones(n, dtype=bool)
+    # wrap lap: carry of the last bucket takes bucket 0's leftover room
+    # (bucket 0's occupancy is its placed home arrivals; c_in[0] == 0)
+    wrap = tgt == 0
+    if wrap.any():
+        base0 = min(int(cnt[0]), bucket)
+        room0 = bucket - base0
+        stash_w = pr[wrap] >= room0
+        pslot[wrap] = np.where(stash_w, 0, base0 + pr[wrap])
+        keep[pushed_pos[wrap]] = ~stash_w
+    slot[pushed_pos] = pslot
+    idx = order[keep]
+    slots_kept = slot[keep]
+    tags = np.zeros(n, dtype=np.int32)
+    tags[pushed_pos] = 1
+    tags_kept = tags[keep]
+    for i, (out, payload) in enumerate(zip(outs, payloads)):
+        if i == 0:
+            out[slots_kept] = payload[idx] | (tags_kept << 30)
+        else:
+            out[slots_kept] = payload[idx]
+    max_probes = 1 if len(pushed_pos) else 0
+    stash_idx = np.sort(order[~keep])
+    return outs, max_probes, stash_idx
+
+
+def _insert_conveyor_slow(bucket0, payloads, cap, bucket, outs):
+    """Exact sequential conveyor sweep (clamped carry; numpy oracle for
+    the native path and the backstop for pathological loads)."""
+    n = len(bucket0)
+    nb = max(cap // bucket, 1)
+    order = np.argsort(bucket0, kind="stable")
+    b_sorted = bucket0[order]
+    starts = np.searchsorted(b_sorted, np.arange(nb + 1))
+    occ = np.zeros(nb, dtype=np.int64)
+    slot = np.empty(n, dtype=np.int64)
+    tag = np.zeros(n, dtype=np.int32)
+    stash: list = []
+    carry: list = []
+    max_probes = 0
+    for lap in range(2):
+        for b in range(nb):
+            room = bucket - occ[b]
+            take = min(len(carry), room)
+            for j in range(take):
+                k = carry[j]
+                slot[k] = b * bucket + occ[b] + j
+                tag[k] = 1
+                max_probes = 1
+            occ[b] += take
+            stash.extend(carry[take:])
+            carry = []
+            if lap == 0:
+                ks = order[starts[b]: starts[b + 1]]
+                room = bucket - occ[b]
+                placed = ks[: room] if room > 0 else ks[:0]
+                for j, k in enumerate(placed):
+                    slot[k] = b * bucket + occ[b] + j
+                occ[b] += len(placed)
+                carry = list(ks[len(placed):])
+        if lap == 0 and not carry:
+            break
+        if lap == 1:
+            stash.extend(carry)
+            carry = []
+    placed_mask = np.ones(n, dtype=bool)
+    placed_mask[np.array(stash, dtype=np.int64)
+                if stash else np.zeros(0, np.int64)] = False
+    for i, (out, payload) in enumerate(zip(outs, payloads)):
+        if i == 0:
+            out[slot[placed_mask]] = (payload[placed_mask]
+                                      | (tag[placed_mask] << 30))
+        else:
+            out[slot[placed_mask]] = payload[placed_mask]
+    return outs, max_probes, np.array(sorted(stash), dtype=np.int64)
+
+
 class TableGeometryError(ValueError):
     """A table layout cannot represent the requested capacity (e.g. the
     25-bit bucket-index cap) — distinct from generic ValueErrors so
@@ -359,9 +493,17 @@ class KmerTable:
             bucket0 = (mlo & np.uint32((1 << nb_bits) - 1)).astype(np.int64)
             rem = ((mlo >> np.uint32(nb_bits))
                    | (mhi << np.uint32(25 - nb_bits))).astype(np.int32)
-            (rem_arr, val_arr), max_probes, leftover = _insert_bucketized(
-                bucket0, [rem, values], cap,
-                tag_distance=True, bucket=bucket, max_round=max_probe_limit)
+            if max_probe_limit == 1:
+                # dense 2-round geometry: conveyor placement holds the
+                # stash near zero up to ~0.9 load (vs ~0.45 round-based)
+                (rem_arr, val_arr), max_probes, leftover = \
+                    _insert_conveyor(bucket0, [rem, values], cap,
+                                     bucket=bucket)
+            else:
+                (rem_arr, val_arr), max_probes, leftover = \
+                    _insert_bucketized(
+                        bucket0, [rem, values], cap, tag_distance=True,
+                        bucket=bucket, max_round=max_probe_limit)
             if len(leftover) <= stash_cap:
                 return cls(rem_arr, val_arr, max_probes, len(values),
                            {"k": k, "nb_bits": nb_bits, "bucket": bucket},

@@ -68,6 +68,17 @@ def ensure_built(quiet: bool = True) -> bool:
             ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_longlong), ctypes.POINTER(ctypes.c_int),
         ]
+    if hasattr(lib, "umgap_insert_conveyor"):
+        lib.umgap_insert_conveyor.restype = ctypes.c_longlong
+        lib.umgap_insert_conveyor.argtypes = [
+            ctypes.POINTER(ctypes.c_longlong), ctypes.c_longlong,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_longlong, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_longlong), ctypes.POINTER(ctypes.c_int),
+        ]
     if hasattr(lib, "umgap_sort_rows"):
         lib.umgap_sort_rows.restype = None
         lib.umgap_sort_rows.argtypes = [
@@ -196,6 +207,42 @@ def insert_bucketized_native(bucket0: np.ndarray, payloads, cap: int,
     if rc < 0:
         raise RuntimeError("table capacity exhausted")
     return outs, int(max_probes.value), leftover[:rc]
+
+
+def insert_conveyor_native(bucket0: np.ndarray, payloads, cap: int,
+                           bucket: int):
+    """Native conveyor placement (slot-identical to the numpy path in
+    index.table._insert_conveyor). Returns (outs, max_probes,
+    stash_indices)."""
+    if not available() or not hasattr(_lib, "umgap_insert_conveyor"):
+        raise RuntimeError("native conveyor unavailable")
+    from ..index.table import EMPTY
+
+    n = len(bucket0)
+    bucket0 = np.ascontiguousarray(bucket0, dtype=np.int64)
+    ps = [np.ascontiguousarray(p, dtype=np.int32) for p in payloads]
+    if not 1 <= len(ps) <= 3:
+        raise ValueError("1-3 payload columns supported")
+    outs = [np.full(cap, EMPTY if i == 0 else 0, dtype=np.int32)
+            for i in range(len(ps))]
+    leftover = np.zeros(max(n, 1), dtype=np.int64)
+    max_probes = ctypes.c_int(0)
+    I32P = ctypes.POINTER(ctypes.c_int32)
+
+    def p32(a):
+        return a.ctypes.data_as(I32P) if a is not None else None
+
+    pin = ps + [None] * (3 - len(ps))
+    pout = outs + [None] * (3 - len(outs))
+    rc = _lib.umgap_insert_conveyor(
+        bucket0.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)), n,
+        p32(pin[0]), p32(pin[1]), p32(pin[2]),
+        cap, bucket,
+        p32(pout[0]), p32(pout[1]), p32(pout[2]),
+        leftover.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+        ctypes.byref(max_probes),
+    )
+    return outs, int(max_probes.value), np.sort(leftover[:rc])
 
 
 def available() -> bool:
