@@ -107,21 +107,23 @@ def main():
         qk = rng.integers(0, 2 ** 45, size=NQ).astype(np.uint64)
     hi, lo = kmerops.split_packed(qk)
 
+    # the table rides as a jit ARGUMENT (a closed-over table would be
+    # captured as a 12.9GB program constant)
     @jax.jit
-    def probe_grouped(h, l):
+    def probe_grouped(tbl, h, l):
         own = owner_of(h, l, S)
         sub = jnp.clip(own - jnp.int32(base), 0, G - 1)
-        v, f = lookup.probe(dtable, h, l, sub=sub)
+        v, f = lookup.probe(tbl, h, l, sub=sub)
         return v.sum() + f.sum()
 
     dh = jax.device_put(hi)
     dl = jax.device_put(lo)
     eprint("compiling grouped probe...")
-    np.asarray(probe_grouped(dh, dl))
+    np.asarray(probe_grouped(dtable, dh, dl))
     reps = 0
     t0 = time.perf_counter()
     while time.perf_counter() - t0 < 6.0:
-        np.asarray(probe_grouped(dh, dl))
+        np.asarray(probe_grouped(dtable, dh, dl))
         reps += 1
     dt = (time.perf_counter() - t0) / reps
     out["probe"] = {
@@ -168,21 +170,20 @@ def main():
         dtax = devagg.DeviceTaxonomy.from_host(Taxonomy(taxa))
         reads = np.fromfile(os.path.join(data, "reads.bin"),
                             np.uint8).reshape(P, 2, L)
-        B = 16384
         from umgap_tpu.pipeline import PRESETS
 
         config = PRESETS["high-sensitivity"]
         tt = enc.get_table(config.table_number)
 
         @jax.jit
-        def step_full(dna, lengths):
+        def step_full(tbl, dtx, dna, lengths):
             Bq, E, l = dna.shape
             aa, plens = translate.translate6_batch(
                 dna.reshape(Bq * E, l), lengths.reshape(Bq * E), tt)
             h, l2, wvalid = kmerops.pack_windows_batch(aa, plens, config.k)
             own = owner_of(h, l2, S)
             sub = jnp.clip(own - jnp.int32(base), 0, G - 1)
-            tx, _f = lookup.probe(dtable, h, l2, valid=wvalid, sub=sub)
+            tx, _f = lookup.probe(tbl, h, l2, valid=wvalid, sub=sub)
             tx = jnp.where(wvalid, tx, 0)
             W = tx.shape[-1]
             nk = jnp.maximum(plens - (config.k - 1), 0)
@@ -193,27 +194,36 @@ def main():
                 hits, jnp.ones_like(hits, jnp.float32), config.k_max)
             uv = devagg.filter_lower_bound(uc, uv, config.lower_bound)
             agg = devagg.aggregate_batch(
-                dtax, ut, uc, uv, config.method, config.strategy,
+                dtx, ut, uc, uv, config.method, config.strategy,
                 config.factor)
-            sn = devagg.snap_batch(dtax.snap_valid, agg, default=0)
+            sn = devagg.snap_batch(dtx.snap_valid, agg, default=0)
             return jnp.where(uv.any(-1), sn, 1).astype(jnp.int32).sum()
 
-        ddna = jax.device_put(reads[:B])
-        dlen = jax.device_put(np.full((B, 2), L, np.int32))
-        eprint("compiling full pipeline at production geometry...")
-        np.asarray(step_full(ddna, dlen))
-        reps = 0
-        t0 = time.perf_counter()
-        while time.perf_counter() - t0 < 6.0:
-            np.asarray(step_full(ddna, dlen))
-            reps += 1
-        dt = (time.perf_counter() - t0) / reps
-        out["pipeline"] = {
-            "batch": B,
-            "ms_per_batch": round(dt * 1e3, 2),
-            "pairs_per_s": round(B / dt, 1),
-        }
-        eprint(f"pipeline at {gb:.1f} GB bucket16: {out['pipeline']}")
+        # program temps scale with batch; with a 12GB table resident
+        # the 16k-pair program OOMs HBM — walk down to the largest fit
+        for B in (8192, 4096, 2048):
+            try:
+                ddna = jax.device_put(reads[:B])
+                dlen = jax.device_put(np.full((B, 2), L, np.int32))
+                eprint(f"compiling full pipeline (B={B}) at "
+                       "production geometry...")
+                np.asarray(step_full(dtable, dtax, ddna, dlen))
+            except Exception as e:  # noqa: BLE001 — OOM: try smaller
+                eprint(f"B={B} failed ({str(e)[:120]})")
+                continue
+            reps = 0
+            t0 = time.perf_counter()
+            while time.perf_counter() - t0 < 6.0:
+                np.asarray(step_full(dtable, dtax, ddna, dlen))
+                reps += 1
+            dt = (time.perf_counter() - t0) / reps
+            out["pipeline"] = {
+                "batch": B,
+                "ms_per_batch": round(dt * 1e3, 2),
+                "pairs_per_s": round(B / dt, 1),
+            }
+            eprint(f"pipeline at {gb:.1f} GB bucket16: {out['pipeline']}")
+            break
     print(json.dumps(out))
 
 

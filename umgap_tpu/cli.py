@@ -766,11 +766,14 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--synthetic", default=None,
                     help="generate N synthetic input rows instead of "
                          "--tsv (benchmark / scale-test mode)")
-    sp.add_argument("--layout", default="bucket16",
-                    choices=["bucket16", "bucket8s"],
-                    help="shard table geometry: bucket16 = dense "
-                         "(~13-21 B/key HBM, <=2 row gathers), bucket8s "
-                         "= fastest probe (1 gather) at 4-8x the memory")
+    sp.add_argument("--layout", default="bucket64s",
+                    choices=["bucket64s", "bucket16", "bucket8s"],
+                    help="shard table geometry: bucket64s (default) = "
+                         "ONE full-tile 512B row gather per query, the "
+                         "measured at-scale optimum (~16-32 B/key); "
+                         "bucket16 = <=2 gathers at up to 0.9 load "
+                         "(memory-lean); bucket8s = the cache-regime "
+                         "layout for small chip-resident tables")
     sp.add_argument("--seed", type=int, default=7)
     sp.add_argument("--reclaim", action="store_true",
                     help="disk-bounded build: delete each stage's "

@@ -36,15 +36,19 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
-# At-scale shards default to the DENSE geometry: 16-slot buckets with
-# up to one linear-probe round (2 gathers worst case, rare at these
-# loads).  bucket8s' single-gather probe needs its 256-slot stash to
-# absorb all bucket overflow, which caps realized load around 0.1 at
-# 10M+ keys/shard (~86 B/key HBM) — 4-8x the memory of bucket16 at the
-# same exactness.  Serving-path tables for chip-resident indexes keep
-# bucket8s (probe speed); --layout selects per build.
+# At-scale shards default to bucket64s: 64-slot buckets resolved by ONE
+# full-tile (512 B) row gather — measured 4x the probe rate of 2-round
+# bucket16 at multi-GB tables (PERF.md round 4) at the same 8 B/slot.
+# Sized at load <= 0.5 so the single round's overflow stays within the
+# stash.  bucket16 (conveyor-placed, <= 2 gathers, load <= 0.9 ceiling)
+# remains for memory-lean builds; bucket8s (the cache-regime layout)
+# needs its stash to absorb all bucket overflow, capping realized load
+# around 0.1 at 10M+ keys/shard.  --layout selects per build.
+LOAD_FACTORS = {"bucket64s": 0.50, "bucket16": 0.60, "bucket8s": 0.60}
+BUCKETS = {"bucket64s": 64, "bucket16": 16, "bucket8s": 8}
+PROBE_LIMITS = {"bucket64s": 0, "bucket16": 1, "bucket8s": 0}
 LOAD_FACTOR = 0.60
-LAYOUT = "bucket16"
+LAYOUT = "bucket64s"
 
 
 def _done(path: str) -> str:
@@ -256,20 +260,28 @@ def common_capacity(workdir: str, manifest: dict) -> int:
         n = _shard_key_count(workdir, s)
         if n > max_n:
             max_n, max_s = n, s
-    bucket = 8 if manifest["layout"] == "bucket8s" else 16
-    cap = _pow2_capacity(max_n, LOAD_FACTOR, bucket << MIN_NB_BITS)
-    z = np.load(os.path.join(workdir, "joined", f"s{max_s:03d}.npz"))
-    keys = z["keys"].astype(np.uint64)
-    if len(keys) and manifest["layout"] == "bucket8s":
-        hi, lo = kmerops.split_packed(keys)
-        _mhi, mlo = mix_key(hi, lo)
-        while True:
-            nb = max(cap // 8, 1)
-            cnt = np.bincount((mlo & np.uint32(nb - 1)).astype(np.int64),
-                              minlength=nb)
-            if int(np.maximum(cnt - 8, 0).sum()) <= 128:
-                break
-            cap *= 2
+    bucket = BUCKETS.get(manifest["layout"], 16)
+    load = LOAD_FACTORS.get(manifest["layout"], LOAD_FACTOR)
+    cap = _pow2_capacity(max_n, load, bucket << MIN_NB_BITS)
+    joined_path = os.path.join(workdir, "joined", f"s{max_s:03d}.npz")
+    if manifest["layout"] == "bucket8s" and os.path.exists(joined_path):
+        # bucket8s pre-sizes from the largest shard's real bucket
+        # histogram (single-round, no conveyor); skipped when the
+        # joined arrays were reclaimed (the build backstop still
+        # doubles on stash overflow)
+        z = np.load(joined_path)
+        keys = z["keys"].astype(np.uint64)
+        if len(keys):
+            hi, lo = kmerops.split_packed(keys)
+            _mhi, mlo = mix_key(hi, lo)
+            while True:
+                nb = max(cap // 8, 1)
+                cnt = np.bincount(
+                    (mlo & np.uint32(nb - 1)).astype(np.int64),
+                    minlength=nb)
+                if int(np.maximum(cnt - 8, 0).sum()) <= 128:
+                    break
+                cap *= 2
     with open(cap_path + ".tmp", "w") as f:
         json.dump({"capacity": cap, "max_keys": max_n}, f)
     os.replace(cap_path + ".tmp", cap_path)
@@ -336,8 +348,8 @@ def task_build(workdir: str, manifest: dict, shard: int) -> None:
         keys = keys.astype(np.uint64)
     # explicit geometry (no layout fallback): every shard MUST share
     # one row shape or the stacked serving table breaks
-    bucket = 8 if manifest["layout"] == "bucket8s" else 16
-    probes = 0 if manifest["layout"] == "bucket8s" else 1
+    bucket = BUCKETS.get(manifest["layout"], 16)
+    probes = PROBE_LIMITS.get(manifest["layout"], 1)
     table = KmerTable.build(keys, values.astype(np.int32),
                             k=manifest["k"], bucket=bucket,
                             max_probe_limit=probes, stash_cap=256,

@@ -866,6 +866,20 @@ def build_kmer_table(packed: np.ndarray, values: np.ndarray, k: int,
                 pass
         return KmerTable.build(packed, values, k, bucket=16,
                                max_probe_limit=0, **kw)
+    if layout == "bucket64s":
+        # THE at-scale serving layout (measured round 4, PERF.md): once
+        # a table exceeds on-chip cache, XLA's row gather is FASTEST at
+        # the full (8,128) tile width — a 512B row gathers 2.6x faster
+        # than a 128B row — so one 64-slot-bucket gather resolves every
+        # query at ~49M keys/s at 4.3GB vs ~12M for 2-round bucket16.
+        # Same 8 B/slot; sized at load <= 0.5 so the single round's
+        # overflow stays within the stash (Poisson(32) beyond 64 slots:
+        # ~1e-7 of keys).  Small cache-resident tables should keep
+        # bucket8s (narrow rows win in the cache regime).
+        kw.setdefault("stash_cap", 256)
+        kw.setdefault("load_factor", 0.5)
+        return KmerTable.build(packed, values, k, bucket=64,
+                               max_probe_limit=0, **kw)
     if layout == "bucket4s":
         kw.setdefault("stash_cap", 256)
         return KmerTable.build(packed, values, k, bucket=4,
