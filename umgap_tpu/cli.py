@@ -1260,6 +1260,32 @@ def cmd_analyse(args, stdin, stdout):
             raise CliError(
                 f"{manifest['n_shards']} shards cannot be grouped onto "
                 f"the {n_dev}-device mesh (must divide evenly)")
+        # capacity pre-check: fail with sizing advice instead of an
+        # opaque device OOM mid-transfer
+        per_dev_bytes = (manifest.get("capacity", 0) * 8
+                         * (manifest["n_shards"] // n_dev))
+        limit = None
+        try:
+            stats = mesh.devices.flat[0].memory_stats()
+            limit = (stats or {}).get("bytes_limit")
+        except Exception:  # noqa: BLE001 — backend without memory_stats
+            pass
+        if limit is None:
+            # backends without memory_stats (e.g. tunneled devices):
+            # conservative HBM-per-chip defaults by device kind
+            kind = getattr(mesh.devices.flat[0], "device_kind", "")
+            for frag, gb in (("v5 lite", 16), ("v5e", 16), ("v4", 32),
+                             ("v5p", 95), ("v5", 95), ("v6", 32)):
+                if frag in kind.lower():
+                    limit = gb * 10 ** 9
+                    break
+        if limit and per_dev_bytes > 0.95 * limit:
+            need = -(-manifest["n_shards"] * manifest.get("capacity", 0)
+                     * 8 // int(0.95 * limit))
+            raise CliError(
+                f"each device would hold {per_dev_bytes / 1e9:.1f} GB of "
+                f"shard rows but has ~{limit / 1e9:.1f} GB; serve this "
+                f"artifact on a mesh of >= {need} devices")
         # mmap: pages stream disk -> packed rows -> HBM, so cold-start
         # is bounded by the transfer, not an upfront artifact read
         shards = distbuild.load_shards(workdir, mmap=True)
