@@ -80,18 +80,21 @@ def main():
     # axon block_until_ready may not block: checksum is the barrier
     _ = int(np.asarray(jnp.sum(drows[:: max(1, rows.shape[0] // 1024)])))
     t_put = time.perf_counter() - t0
+    max_probes = max(t.max_probes for t in shards)
     out["cold_start"] = {
         "mmap_s": round(t_map, 2), "pack_rows_s": round(t_pack, 2),
         "device_put_s": round(t_put, 2), "table_gb": round(gb, 2),
         "put_gbps": round(gb / t_put, 2),
         "keys_per_shard": manifest["n_keys"] // S,
         "stash_slots": int(stash.shape[0]),
-        "max_probes": max(t.max_probes for t in shards),
+        "max_probes": max_probes,
     }
     eprint(f"cold start: {out['cold_start']}")
     del rows, shards
 
-    dtable = lookup.DeviceTable(drows, max_probes=1, kind="kmer",
+    # probe depth from the artifact itself (a hard-coded 1 would force
+    # a useless second gather round on single-round layouts)
+    dtable = lookup.DeviceTable(drows, max_probes=max_probes, kind="kmer",
                                 nb_bits=nbits, bucket=bucket,
                                 stash=dstash, group=G)
 

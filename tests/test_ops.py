@@ -330,10 +330,10 @@ def test_bucket8s_stash_probe_device_and_host():
     assert all(m[int(k)] == int(v) for k, v in zip(got_keys, got_vals))
 
 
-def test_bucket8s_degrades_to_bucket16_geometry(monkeypatch):
-    """Past the 25-bit bucket-index cap the bucket8s layout must fall
-    back to the denser 16-slot geometry instead of failing (exercised
-    at small scale by patching the threshold)."""
+def test_bucket8s_degrades_to_bucket64s_geometry(monkeypatch):
+    """Past the cache-regime key threshold the default bucket8s layout
+    must route to the at-scale bucket64s geometry instead of failing
+    (exercised at small scale by patching the threshold)."""
     from umgap_tpu.index import table as table_mod
 
     rng = np.random.default_rng(6)
@@ -343,7 +343,7 @@ def test_bucket8s_degrades_to_bucket16_geometry(monkeypatch):
     values = rng.integers(1, 2 ** 24, size=n).astype(np.int32)
     monkeypatch.setattr(table_mod, "BUCKET8S_MAX_KEYS", 10_000)
     t = table_mod.build_kmer_table(packed, values, k=9)
-    assert t.bucket == 16
+    assert t.bucket == 64
     assert t.max_probes == 0
     hv, hf = t.probe_host(*kmers.split_packed(packed))
     assert hf.all() and (hv == values).all()

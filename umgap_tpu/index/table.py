@@ -57,9 +57,10 @@ _FNV_OFFSET2 = np.uint32(0xCBF29CE4)
 # can never alias across rounds; bit 31 stays 0, keeping EMPTY = -1
 # unambiguous.
 MIN_NB_BITS = 15
-# bucket-8 single-gather geometry tops out near this key count (the
-# 25-bit bucket-index cap); larger single tables use bucket16 geometry
-BUCKET8S_MAX_KEYS = 90_000_000
+# bucket8s (narrow rows) wins only while the table is cache-regime
+# sized; beyond this key count single tables route to bucket64s, the
+# measured at-scale layout (see build_kmer_table)
+BUCKET8S_MAX_KEYS = 30_000_000
 MAX_NB_BITS = 25
 DIST_BIT = np.int32(1 << 30)
 
@@ -850,12 +851,12 @@ def build_kmer_table(packed: np.ndarray, values: np.ndarray, k: int,
       2 full gathers); superseded by the ``*s`` single-gather layouts.
     """
     if layout == "bucket8s":
-        # The 25-bit bucket-index cap limits bucket-8 tables to 2^25
-        # buckets (~120M keys at the default load); very large single
-        # tables degrade to the denser 16-slot geometry (indexes beyond
-        # ~350M keys must be sharded — index/scale.py). Only the
-        # geometry overflow triggers the fallback; any other error is a
-        # real bug and propagates.
+        # The cache regime (narrow rows fastest) ends somewhere beyond
+        # ~100 MB of table; large single tables route to the measured
+        # at-scale optimum (bucket64s, one full-tile gather) instead.
+        # The 25-bit bucket-index cap additionally limits bucket-8
+        # tables to 2^25 buckets; only the geometry overflow triggers
+        # that fallback — any other error is a real bug and propagates.
         if len(values) <= BUCKET8S_MAX_KEYS:
             kw8 = dict(kw)
             kw8.setdefault("stash_cap", 256)
@@ -864,8 +865,8 @@ def build_kmer_table(packed: np.ndarray, values: np.ndarray, k: int,
                                        max_probe_limit=0, **kw8)
             except TableGeometryError:
                 pass
-        return KmerTable.build(packed, values, k, bucket=16,
-                               max_probe_limit=0, **kw)
+        return build_kmer_table(packed, values, k, layout="bucket64s",
+                                **kw)
     if layout == "bucket64s":
         # THE at-scale serving layout (measured round 4, PERF.md): once
         # a table exceeds on-chip cache, XLA's row gather is FASTEST at
