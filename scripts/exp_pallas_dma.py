@@ -1,0 +1,230 @@
+"""Round-5 experiment: DMA-pipelined Pallas row gather vs XLA's gather.
+
+VERDICT r4 item 1: at >= 4.3 GB resident, XLA's row gather realizes
+~54.9 M x 512 B rows/s ~= 28 GB/s — 3.4 % of the v5e's 819 GB/s HBM.
+This kernel keeps K row-DMAs in flight (HBM -> VMEM async copies at
+per-query dynamic bucket indices) to measure whether explicit DMA
+pipelining can beat the XLA emitter's issue rate, or to pin the
+per-row floor if it cannot.
+
+The probed layout is bucket64s: one (1, 128)-int32 row (512 B, a full
+(8,128) tile... actually (1,128) sublane) per query — the at-scale
+serving geometry (umgap_tpu/index/table.py, PERF.md round 4).
+Reference anchor: the per-kmer fst.get hot loop,
+/root/reference/src/commands/prot2kmer2lca.rs:174-179.
+
+Usage:
+  python scripts/exp_pallas_dma.py selftest          # CPU interpret mode
+  python scripts/exp_pallas_dma.py chip [sizes...]   # real-chip measure
+"""
+
+import functools
+import json
+import sys
+import time
+
+import numpy as np
+
+WIDTH = 128  # int32 lanes per row (512 B — the bucket64s row)
+
+
+def make_kernel(T: int, K: int, R: int, interpret: bool,
+                idx_space: str = "smem"):
+    """Build the (Q,)->(Q,) row-checksum gather via per-row DMAs.
+
+    T: queries per grid step (multiple of 1024 for the (8,128) VMEM
+    tiling of the per-tile output); K: DMAs in flight; R: rows per DMA
+    (R>1 fetches R consecutive rows per query — for the issue-cost
+    curve, not a real probe). ``idx_space``: where the per-tile index
+    block lives — 'smem' reads addressing scalars natively, 'vmem' is
+    the fallback if the backend rejects SMEM input blocks."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    assert T % 1024 == 0
+    TS = T // 128  # sublane count of the (TS, 128) idx/out tiles
+
+    def kernel(idx_ref, table_ref, out_ref, scratch, sems):
+        def get_dma(j):
+            b = idx_ref[0, j // 128, jax.lax.rem(j, 128)]
+            return pltpu.make_async_copy(
+                table_ref.at[pl.ds(b, R), :],
+                scratch.at[pl.ds(j * R, R), :],
+                sems.at[jax.lax.rem(j, K)],
+            )
+
+        for j in range(K):  # warmup: K copies in flight
+            get_dma(j).start()
+
+        def body(j, carry):
+            get_dma(j).wait()
+            @pl.when(j + K < T)
+            def _():
+                get_dma(j + K).start()
+            return carry
+
+        jax.lax.fori_loop(0, T, body, 0)
+        out_ref[0] = jnp.sum(
+            scratch[:].reshape(T, R * WIDTH), axis=1,
+            dtype=jnp.int32).reshape(TS, 128)
+
+    def gather(table, idx3):
+        n_tiles = idx3.shape[0]
+        return pl.pallas_call(
+            kernel,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, TS, 128), lambda i: (i, 0, 0),
+                    memory_space=(pltpu.SMEM if idx_space == "smem"
+                                  else pltpu.VMEM)),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((1, TS, 128), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n_tiles, TS, 128), jnp.int32),
+            scratch_shapes=[
+                pltpu.VMEM((T * R, WIDTH), jnp.int32),
+                pltpu.SemaphoreType.DMA((K,)),
+            ],
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            interpret=interpret,
+        )(idx3, table)
+
+    return gather
+
+
+def run_case(nb: int, q: int, T: int, K: int, R: int, interpret: bool,
+             table=None, reps: int = 3, idx_space: str = "smem"):
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    if table is None:
+        table = jnp.asarray(
+            rng.integers(0, 1 << 30, size=(nb, WIDTH), dtype=np.int32))
+    idx = rng.integers(0, nb - R, size=q, dtype=np.int32)
+    idx2 = jnp.asarray(idx.reshape(q // T, T // 128, 128))
+
+    gather = make_kernel(T, K, R, interpret, idx_space=idx_space)
+
+    @jax.jit
+    def run(table, idx2):
+        return gather(table, idx2).sum()
+
+    # correctness (always): row checksums must match numpy
+    host_table = np.asarray(table)
+    want = 0
+    for r in range(R):
+        want += host_table[idx + r].sum(dtype=np.int64)
+    got = int(np.asarray(run(table, idx2)))  # compile + warm
+    # int32 wraparound-safe compare
+    assert np.int32(got) == np.int32(want), (got, want)
+
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        got = int(np.asarray(run(table, idx2)))
+    dt = (time.perf_counter() - t0) / reps
+    rows_per_s = q / dt
+    return {
+        "nb": nb, "q": q, "T": T, "K": K, "R": R,
+        "ms": round(dt * 1e3, 2),
+        "M_dmas_per_s": round(rows_per_s / 1e6, 2),
+        "GB_per_s": round(rows_per_s * R * WIDTH * 4 / 1e9, 2),
+    }
+
+
+def xla_case(nb: int, q: int, table=None, reps: int = 3):
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    if table is None:
+        table = jnp.asarray(
+            rng.integers(0, 1 << 30, size=(nb, WIDTH), dtype=np.int32))
+    idx = jnp.asarray(rng.integers(0, nb - 1, size=q, dtype=np.int32))
+
+    @jax.jit
+    def run(table, idx):
+        return jnp.take(table, idx, axis=0).sum(dtype=jnp.int32)
+
+    np.asarray(run(table, idx))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        np.asarray(run(table, idx))
+    dt = (time.perf_counter() - t0) / reps
+    return {"nb": nb, "q": q, "ms": round(dt * 1e3, 2),
+            "M_rows_per_s": round(q / dt / 1e6, 2),
+            "GB_per_s": round(q / dt * WIDTH * 4 / 1e9, 2)}
+
+
+def selftest():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    for T, K, R in ((1024, 8, 1), (1024, 4, 2), (2048, 16, 1)):
+        for space in ("smem", "vmem"):
+            r = run_case(nb=4096, q=4096, T=T, K=K, R=R, interpret=True,
+                         reps=1, idx_space=space)
+            print(f"selftest ok ({space}):", r)
+
+
+def chip(args):
+    import jax
+    import jax.numpy as jnp
+
+    dev = jax.devices()[0]
+    print("device:", dev, file=sys.stderr)
+    results = []
+
+    # small (cache-regime) shakeout first: cheap compile, quick sanity
+    cases = [("small", 1 << 17, 1 << 21)]  # 67 MB, 2M queries
+    if "big" in args:
+        cases.append(("big", 1 << 23, 1 << 21))  # 4.3 GB, 2M queries
+    kcfgs = [(1024, 16, 1)]
+    if "sweep" in args:
+        kcfgs += [(1024, 32, 1), (1024, 8, 1), (1024, 16, 4)]
+
+    for name, nb, q in cases:
+        rng = np.random.default_rng(1)
+        print(f"[{name}] placing {nb * WIDTH * 4 / 1e9:.2f} GB table...",
+              file=sys.stderr, flush=True)
+        t0 = time.perf_counter()
+        # build on host in chunks to bound RAM, transfer once
+        host = rng.integers(0, 1 << 30, size=(nb, WIDTH), dtype=np.int32)
+        table = jax.device_put(host, dev)
+        table.block_until_ready()
+        print(f"[{name}] placed in {time.perf_counter() - t0:.0f}s",
+              file=sys.stderr, flush=True)
+        del host
+
+        r = xla_case(nb, q, table=table)
+        r["kind"] = f"xla_gather_{name}"
+        print(json.dumps(r), flush=True)
+        results.append(r)
+
+        for T, K, R in kcfgs:
+            for space in ("smem", "vmem"):
+                try:
+                    r = run_case(nb, q, T=T, K=K, R=R, interpret=False,
+                                 table=table, idx_space=space)
+                    r["kind"] = f"pallas_dma_{name}_{space}"
+                except Exception as e:  # noqa: BLE001 — record fails
+                    r = {"kind": f"pallas_dma_{name}_{space}", "T": T,
+                         "K": K, "R": R, "error": repr(e)[:500]}
+                print(json.dumps(r), flush=True)
+                results.append(r)
+                if "error" not in r:
+                    break  # smem worked; no need for the fallback
+
+    with open("/tmp/exp_pallas_dma.json", "w") as f:
+        json.dump(results, f, indent=1)
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "selftest":
+        selftest()
+    else:
+        chip(sys.argv[1:])

@@ -143,8 +143,7 @@ def test_distbuild_resume_after_kill(tmp_path):
     for s in range(4):
         a = np.load(wd / "shards" / f"shard_{s:03d}.npz")
         b = np.load(wd2 / "shards" / f"shard_{s:03d}.npz")
-        assert (a["rem"] == b["rem"]).all()
-        assert (a["values"] == b["values"]).all()
+        assert (a["rows"] == b["rows"]).all()  # packed wire layout
 
 
 @pytest.mark.multiprocess

@@ -556,6 +556,11 @@ def cmd_buildindex_dist(args, stdin, stdout):
         distbuild.worker_main(args.workdir, args.task, args.index,
                               join_threads=args.join_threads)
         return
+    if args.repack:
+        n = distbuild.repack_shards(
+            args.workdir, log=lambda s: print(s, file=sys.stderr))
+        stdout.write(json.dumps({"repacked": n}) + "\n")
+        return
     if args.synthetic is None and (args.tsv is None or args.taxons is None):
         raise CliError("need --tsv and --taxons (or --synthetic N)")
     manifest = distbuild.drive(
@@ -781,6 +786,12 @@ def build_parser() -> argparse.ArgumentParser:
                          "checkpointed (spills after join, joined "
                          "arrays after table build) — peak disk drops "
                          "from ~3.5x to ~1.6x the final artifact size")
+    sp.add_argument("--repack", action="store_true",
+                    help="relayout an EXISTING workdir's shards into "
+                         "the packed device-wire format in place "
+                         "(atomic per shard, re-runnable); packed "
+                         "shards mmap straight into the device "
+                         "transfer at serve time — no host repack")
     # internal: worker re-invocation
     sp.add_argument("--task", default=None,
                     choices=["partition", "join", "build"],
@@ -1264,12 +1275,19 @@ def cmd_analyse(args, stdin, stdout):
         # opaque device OOM mid-transfer
         per_dev_bytes = (manifest.get("capacity", 0) * 8
                          * (manifest["n_shards"] // n_dev))
+        # UMGAP_HBM_BYTES overrides the per-device capacity estimate
+        # (ops knob for odd backends; also how tests drive the refusal
+        # path on CPU devices, whose memory_stats lie about HBM)
         limit = None
-        try:
-            stats = mesh.devices.flat[0].memory_stats()
-            limit = (stats or {}).get("bytes_limit")
-        except Exception:  # noqa: BLE001 — backend without memory_stats
-            pass
+        env_limit = os.environ.get("UMGAP_HBM_BYTES")
+        if env_limit:
+            limit = int(float(env_limit))
+        if limit is None:
+            try:
+                stats = mesh.devices.flat[0].memory_stats()
+                limit = (stats or {}).get("bytes_limit")
+            except Exception:  # noqa: BLE001 — no memory_stats
+                pass
         if limit is None:
             # backends without memory_stats (e.g. tunneled devices):
             # conservative HBM-per-chip defaults by device kind
@@ -1288,9 +1306,12 @@ def cmd_analyse(args, stdin, stdout):
                 f"artifact on a mesh of >= {need} devices")
         # mmap: pages stream disk -> packed rows -> HBM, so cold-start
         # is bounded by the transfer, not an upfront artifact read
-        shards = distbuild.load_shards(workdir, mmap=True)
-        stables[False] = ShardedTable.from_shards(shards, mesh,
-                                                  axis=mesh_axis)
+        try:
+            shards = distbuild.load_shards(workdir, mmap=True)
+            stables[False] = ShardedTable.from_shards(shards, mesh,
+                                                      axis=mesh_axis)
+        except (FileNotFoundError, RuntimeError, ValueError) as e:
+            raise CliError(str(e))
         return manifest.get("taxons")
 
     def load_world(tryptic: bool):

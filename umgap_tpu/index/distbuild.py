@@ -354,10 +354,11 @@ def task_build(workdir: str, manifest: dict, shard: int) -> None:
                             k=manifest["k"], bucket=bucket,
                             max_probe_limit=probes, stash_cap=256,
                             capacity=cap)
-    # uncompressed: serving loads these straight into HBM — zlib would
-    # dominate both this save and every serve-time load
+    # packed wire layout, uncompressed: serving mmaps these and feeds
+    # device_put directly — cold start is pure disk->HBM transfer (no
+    # zlib, no host-side row repacking)
     table.save(os.path.join(shards_dir, f"shard_{shard:03d}.npz"),
-               compress=False)
+               packed=True)
     _mark(stamp)
     if os.path.exists(old_path):
         os.remove(old_path)
@@ -530,9 +531,47 @@ def load_shards(workdir: str, mmap: bool = False):
 
     with open(os.path.join(workdir, "manifest.json")) as f:
         manifest = json.load(f)
-    return [load_table(os.path.join(workdir, "shards",
-                                    f"shard_{s:03d}.npz"), mmap=mmap)
-            for s in range(manifest["n_shards"])]
+    shards = []
+    for s in range(manifest["n_shards"]):
+        path = os.path.join(workdir, "shards", f"shard_{s:03d}.npz")
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"shard artifact missing: {path} — the manifest names "
+                f"{manifest['n_shards']} shards; re-run buildindex-dist "
+                f"--workdir {workdir} to resume the build")
+        try:
+            shards.append(load_table(path, mmap=mmap))
+        except Exception as e:
+            raise RuntimeError(
+                f"shard artifact unreadable (truncated or corrupt): "
+                f"{path}: {e}; delete it and its .done marker, then "
+                f"re-run buildindex-dist --workdir {workdir}") from e
+    return shards
+
+
+def repack_shards(workdir: str, log=lambda s: None) -> int:
+    """Relayout existing shard artifacts into the packed wire format
+    (``KmerTable.save(packed=True)``) in place — atomic per shard,
+    already-packed shards skipped, safe to re-run. Converts artifacts
+    built before the packed format existed so serving cold starts become
+    pure disk->HBM transfer (no ~100 s host-side row repack).
+    Returns the number of shards rewritten."""
+    from .table import load_table
+
+    with open(os.path.join(workdir, "manifest.json")) as f:
+        manifest = json.load(f)
+    n = 0
+    for s in range(manifest["n_shards"]):
+        path = os.path.join(workdir, "shards", f"shard_{s:03d}.npz")
+        t = load_table(path, mmap=True)
+        if t.kind != "kmer" or t.rows_packed is not None:
+            continue
+        tmp = path + ".repack.npz"
+        t.save(tmp, packed=True)
+        os.replace(tmp, path)
+        n += 1
+        log(f"repacked shard {s}")
+    return n
 
 
 def worker_main(workdir: str, task: str, indexes, join_threads: int = 1) -> None:

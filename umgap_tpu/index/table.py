@@ -421,9 +421,19 @@ class KmerTable:
     kind = "kmer"
 
     def __init__(self, rem, values, max_probes: int, n: int, meta=None,
-                 stash_hi=None, stash_lo=None, stash_val=None):
-        self.rem = rem
-        self.values = values
+                 stash_hi=None, stash_lo=None, stash_val=None,
+                 rows_packed=None):
+        # ``rows_packed`` is the (n_buckets, 2*bucket) device wire layout
+        # ([remainder row | value row] per bucket — see ops.lookup
+        # .pack_rows).  Artifacts saved with ``packed=True`` store ONLY
+        # this array, so an mmap'd serving load transfers straight to
+        # HBM with no host-side repack; ``rem``/``values`` then
+        # materialize lazily (host probing / printindex only).
+        self._rem = rem
+        self._values = values
+        self.rows_packed = rows_packed
+        if rem is None and rows_packed is None:
+            raise ValueError("KmerTable needs rem/values or rows_packed")
         self.max_probes = int(max_probes)
         self.n = int(n)
         self.meta = dict(meta or {})
@@ -433,8 +443,26 @@ class KmerTable:
         self.stash_val = z if stash_val is None else stash_val
 
     @property
+    def rem(self):
+        if self._rem is None:
+            bk = self.bucket
+            self._rem = np.ascontiguousarray(
+                self.rows_packed[:, :bk]).reshape(-1)
+        return self._rem
+
+    @property
+    def values(self):
+        if self._values is None:
+            bk = self.bucket
+            self._values = np.ascontiguousarray(
+                self.rows_packed[:, bk:2 * bk]).reshape(-1)
+        return self._values
+
+    @property
     def capacity(self) -> int:
-        return len(self.values)
+        if self._values is None:
+            return self.rows_packed.shape[0] * self.bucket
+        return len(self._values)
 
     @property
     def bucket(self) -> int:
@@ -594,10 +622,36 @@ class KmerTable:
 
     # -- serialization -------------------------------------------------- #
 
-    def save(self, path, compress: bool = True):
+    def save(self, path, compress: bool = True, packed: bool = False):
         """``compress=False`` trades ~3.5x disk for ~10x faster save AND
         load (zlib dominates both at shard scale) — what the distributed
-        build uses for serving artifacts."""
+        build uses for serving artifacts.
+
+        ``packed=True`` stores the device wire layout (``rows``) instead
+        of the flat ``rem``/``values`` arrays: same bytes, but an mmap'd
+        load then feeds ``jax.device_put`` with ZERO host-side repacking
+        — cold start becomes pure transfer (the reference's mmap
+        load-and-go, src/commands/pept2lca.rs:74-79). Implies the
+        uncompressed container (mmap needs stored members)."""
+        if packed:
+            if self.rows_packed is not None:
+                rows = self.rows_packed
+            else:
+                from ..ops.lookup import pack_rows  # local: avoids cycle
+
+                rows = pack_rows(self)
+            np.savez(
+                path,
+                kind=np.bytes_(self.kind),
+                rows=rows,
+                max_probes=np.int64(self.max_probes),
+                n=np.int64(self.n),
+                stash_hi=self.stash_hi,
+                stash_lo=self.stash_lo,
+                stash_val=self.stash_val,
+                **{f"meta_{k}": np.int64(v) for k, v in self.meta.items()},
+            )
+            return
         saver = np.savez_compressed if compress else np.savez
         saver(
             path,
@@ -1128,6 +1182,13 @@ def load_table(path, mmap: bool = False):
     kind = bytes(z["kind"]).decode()
     meta = {k[len("meta_"):]: int(z[k]) for k in z.files if k.startswith("meta_")}
     if kind == "kmer":
+        if "rows" in z.files:  # packed wire-layout artifact
+            return KmerTable(None, None, int(z["max_probes"]),
+                             int(z["n"]), meta,
+                             stash_hi=z.get("stash_hi"),
+                             stash_lo=z.get("stash_lo"),
+                             stash_val=z.get("stash_val"),
+                             rows_packed=z["rows"])
         return KmerTable(z["rem"], z["values"], int(z["max_probes"]),
                          int(z["n"]), meta,
                          stash_hi=z.get("stash_hi"),

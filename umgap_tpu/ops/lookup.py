@@ -90,7 +90,14 @@ class DeviceTable:
 
 
 def pack_rows(table) -> np.ndarray:
-    """Concatenate a host table's slot arrays into per-bucket rows."""
+    """Concatenate a host table's slot arrays into per-bucket rows.
+
+    Packed artifacts (``KmerTable.save(packed=True)``) already store
+    this exact layout — return it untouched (possibly an mmap, so a
+    serving cold start is pure disk->HBM transfer, no host repack)."""
+    rp = getattr(table, "rows_packed", None)
+    if rp is not None:
+        return rp
     if table.kind == "cuckoo":
         cap = table.capacity
         return np.stack(
@@ -120,9 +127,21 @@ def pack_rows(table) -> np.ndarray:
 from ..index.table import hash32 as hash32_device  # noqa: E402 isort:skip
 
 
+# Gathered-row working set allowed per probe chunk. The gather
+# materializes a (Q, row_width) int32 buffer; at production batch sizes
+# against a bucket64s table that is GBs (16k pairs -> ~8.85M queries x
+# 512 B ~= 4.5 GB), which is what forced 12.9 GB-resident serving down
+# to 8k-pair batches (PERF.md round 4). Chunking the flat query axis
+# through lax.map bounds the buffer; the gather cost itself is flat
+# per-row (measured), so throughput is unchanged while peak activation
+# memory drops ~Q/chunk-fold.
+PROBE_CHUNK_BYTES = 256 << 20
+
+
 def probe(table: DeviceTable, hi: jax.Array, lo: jax.Array,
           valid: jax.Array | None = None, default: int = 0,
-          sub: jax.Array | None = None):
+          sub: jax.Array | None = None,
+          chunk_bytes: int = PROBE_CHUNK_BYTES):
     """Look up packed keys. Returns (values, found).
 
     Args:
@@ -135,12 +154,52 @@ def probe(table: DeviceTable, hi: jax.Array, lo: jax.Array,
         grouped tables (``table.group`` > 1): the query's bucket is
         taken inside sub-table ``sub`` — linear probing wraps within
         the sub-table, never crossing into a neighbour shard.
+      chunk_bytes: cap on the gathered-row buffer; query batches whose
+        rows exceed 2x this are probed in sequential chunks (identical
+        results, bounded memory).
     """
     live = jnp.ones(hi.shape, dtype=bool) if valid is None else valid
-    out = jnp.full(hi.shape, default, dtype=jnp.int32)
-    found = jnp.zeros(hi.shape, dtype=bool)
     if table.group > 1 and sub is None:
         raise ValueError("grouped table probe requires a sub index")
+
+    row_bytes = 4 * int(table.rows.shape[-1])
+    q_total = 1
+    for d in hi.shape:
+        q_total *= int(d)
+    if (table.kind != "cuckoo" and chunk_bytes
+            and q_total * row_bytes > 2 * chunk_bytes):
+        shape = hi.shape
+        qc = max(chunk_bytes // row_bytes, 1)
+        n_chunks = -(-q_total // qc)
+        pad = n_chunks * qc - q_total
+
+        def flat(x, fill):
+            x = x.reshape(-1)
+            if pad:
+                x = jnp.concatenate(
+                    [x, jnp.full((pad,), fill, x.dtype)])
+            return x.reshape(n_chunks, qc)
+
+        args = (flat(hi, 0), flat(lo, 0), flat(live, False),
+                None if sub is None else flat(sub, 0))
+
+        def one(chunk):
+            chi, clo, clive, csub = chunk
+            return _probe_dense(table, chi, clo, clive, default, csub)
+
+        out_c, found_c = jax.lax.map(one, args)
+        out = out_c.reshape(-1)[:q_total].reshape(shape)
+        found = found_c.reshape(-1)[:q_total].reshape(shape)
+        return out, found
+
+    return _probe_dense(table, hi, lo, live, default, sub)
+
+
+def _probe_dense(table: DeviceTable, hi, lo, live, default, sub):
+    """One-shot probe (gathers all rows at once); see :func:`probe`."""
+    out = jnp.full(hi.shape, default, dtype=jnp.int32)
+    found = jnp.zeros(hi.shape, dtype=bool)
+    valid = live
 
     if table.kind == "cuckoo":
         if table.group > 1:

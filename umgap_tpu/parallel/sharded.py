@@ -167,15 +167,33 @@ class ShardedTable:
         group = n // devices
         sharding = NamedSharding(mesh, P(axis, None, None))
         t0 = shards[0]
-        if any(t.capacity != t0.capacity or t.kind != t0.kind
-               for t in shards):
-            raise ValueError("shards must share capacity and kind")
-        stacked = np.stack([
-            np.concatenate(
-                [lookup.pack_rows(t) for t in shards[d * group:
-                                                     (d + 1) * group]])
-            for d in range(devices)
-        ])
+        b0 = getattr(t0, "bucket", None)
+        for i, t in enumerate(shards):
+            if (t.capacity != t0.capacity or t.kind != t0.kind
+                    or getattr(t, "bucket", None) != b0):
+                raise ValueError(
+                    f"shard {i} geometry mismatch: capacity="
+                    f"{t.capacity} kind={t.kind} "
+                    f"bucket={getattr(t, 'bucket', None)} vs shard 0's "
+                    f"capacity={t0.capacity} kind={t0.kind} bucket={b0} "
+                    "— shards of one serving table must share one "
+                    "layout (mixed bucket16/bucket64s artifacts in one "
+                    "workdir?)")
+        # One pass from (possibly mmap'd, possibly pre-packed) shard
+        # rows into the final stacked layout: a single sequential copy,
+        # no per-shard intermediates. With one device and one shard the
+        # packed rows go to device_put as a zero-copy view.
+        r0 = lookup.pack_rows(t0)
+        nb_rows, width = r0.shape
+        if devices == 1 and group == 1:
+            stacked = np.asarray(r0)[None]
+        else:
+            stacked = np.empty((devices, group * nb_rows, width), np.int32)
+            for d in range(devices):
+                for g in range(group):
+                    t = shards[d * group + g]
+                    stacked[d, g * nb_rows:(g + 1) * nb_rows] = (
+                        r0 if t is t0 else lookup.pack_rows(t))
         if t0.kind == "kmer":
             nb_bits = t0.nb_bits
         elif t0.kind == "cuckoo":
