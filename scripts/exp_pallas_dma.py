@@ -44,28 +44,32 @@ def make_kernel(T: int, K: int, R: int, interpret: bool,
     from jax.experimental.pallas import tpu as pltpu
 
     assert T % 1024 == 0
+    assert K & (K - 1) == 0 and T % (4 * K) == 0
     TS = T // 128  # sublane count of the (TS, 128) idx/out tiles
 
     def kernel(idx_ref, table_ref, out_ref, scratch, sems):
         def get_dma(j):
-            b = idx_ref[0, j // 128, jax.lax.rem(j, 128)]
+            b = idx_ref[0, j >> 7, j & 127]
             return pltpu.make_async_copy(
                 table_ref.at[pl.ds(b, R), :],
                 scratch.at[pl.ds(j * R, R), :],
-                sems.at[jax.lax.rem(j, K)],
+                sems.at[j & (K - 1)],
             )
 
         for j in range(K):  # warmup: K copies in flight
             get_dma(j).start()
 
-        def body(j, carry):
-            get_dma(j).wait()
-            @pl.when(j + K < T)
-            def _():
-                get_dma(j + K).start()
+        def body(i, carry):
+            j0 = i * 4
+            for u in range(4):  # unrolled: amortize loop overhead
+                j = j0 + u
+                get_dma(j).wait()
+                @pl.when(j + K < T)
+                def _():
+                    get_dma(j + K).start()
             return carry
 
-        jax.lax.fori_loop(0, T, body, 0)
+        jax.lax.fori_loop(0, T // 4, body, 0)
         out_ref[0] = jnp.sum(
             scratch[:].reshape(T, R * WIDTH), axis=1,
             dtype=jnp.int32).reshape(TS, 128)
@@ -160,6 +164,51 @@ def xla_case(nb: int, q: int, table=None, reps: int = 3):
             "GB_per_s": round(q / dt * WIDTH * 4 / 1e9, 2)}
 
 
+def dyngather_case(interpret: bool = False, reps: int = 3):
+    """Can Mosaic lower an in-VMEM vectorized row gather on this
+    backend?  (jnp.take_along_axis axis=0 -> tpu.dynamic_gather; the
+    r2/r3 HTTP-500 was at the XLA-lowering layer, re-tested here inside
+    a kernel.)  This is the primitive a sort+scan-join probe kernel
+    would need for within-tile matching."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    TB = 1024  # tile rows
+
+    def kernel(tile_ref, locb_ref, out_ref):
+        idx = locb_ref[:]  # (TB, 128) int32, row index broadcast per lane
+        out_ref[:] = jnp.take_along_axis(tile_ref[:], idx, axis=0)
+
+    @jax.jit
+    def run(tile, locb):
+        return pl.pallas_call(
+            kernel,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                      pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((TB, WIDTH), jnp.int32),
+            interpret=interpret,
+        )(tile, locb).sum()
+
+    rng = np.random.default_rng(3)
+    tile = rng.integers(0, 1 << 30, size=(TB, WIDTH), dtype=np.int32)
+    locb = np.broadcast_to(
+        rng.integers(0, TB, size=(TB, 1), dtype=np.int32),
+        (TB, WIDTH)).copy()
+    want = tile[locb[:, 0]].sum(dtype=np.int64)
+    got = int(np.asarray(run(tile, locb)))
+    assert np.int32(got) == np.int32(want), (got, want)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        np.asarray(run(tile, locb))
+    dt = (time.perf_counter() - t0) / reps
+    return {"kind": "in_kernel_dynamic_gather", "TB": TB,
+            "us": round(dt * 1e6, 1),
+            "M_rows_per_s": round(TB / dt / 1e6, 2)}
+
+
 def selftest():
     import jax
 
@@ -169,6 +218,7 @@ def selftest():
             r = run_case(nb=4096, q=4096, T=T, K=K, R=R, interpret=True,
                          reps=1, idx_space=space)
             print(f"selftest ok ({space}):", r)
+    print("selftest ok:", dyngather_case(interpret=True, reps=1))
 
 
 def chip(args):
@@ -185,7 +235,15 @@ def chip(args):
         cases.append(("big", 1 << 23, 1 << 21))  # 4.3 GB, 2M queries
     kcfgs = [(1024, 16, 1)]
     if "sweep" in args:
-        kcfgs += [(1024, 32, 1), (1024, 8, 1), (1024, 16, 4)]
+        kcfgs += [(1024, 64, 1), (1024, 16, 4)]
+
+    if "dyngather" in args:
+        try:
+            r = dyngather_case()
+        except Exception as e:  # noqa: BLE001 — record compile fails
+            r = {"kind": "in_kernel_dynamic_gather", "error": repr(e)[:500]}
+        print(json.dumps(r), flush=True)
+        results.append(r)
 
     for name, nb, q in cases:
         rng = np.random.default_rng(1)

@@ -179,21 +179,28 @@ class ShardedTable:
                     "— shards of one serving table must share one "
                     "layout (mixed bucket16/bucket64s artifacts in one "
                     "workdir?)")
-        # One pass from (possibly mmap'd, possibly pre-packed) shard
-        # rows into the final stacked layout: a single sequential copy,
-        # no per-shard intermediates. With one device and one shard the
-        # packed rows go to device_put as a zero-copy view.
+        # Memory-lean assembly: one PER-DEVICE block at a time from the
+        # (possibly mmap'd, possibly pre-packed) shard rows, put to its
+        # device, then freed — peak host memory is one device's slice,
+        # not the whole artifact (a 68.7 GB table + a full host-stacked
+        # copy would not fit the build host's RAM). With one device and
+        # one packed shard the mmap goes to device_put as a zero-copy
+        # view, making cold start pure transfer.
         r0 = lookup.pack_rows(t0)
         nb_rows, width = r0.shape
-        if devices == 1 and group == 1:
-            stacked = np.asarray(r0)[None]
-        else:
-            stacked = np.empty((devices, group * nb_rows, width), np.int32)
-            for d in range(devices):
-                for g in range(group):
-                    t = shards[d * group + g]
-                    stacked[d, g * nb_rows:(g + 1) * nb_rows] = (
-                        r0 if t is t0 else lookup.pack_rows(t))
+        global_shape = (devices, group * nb_rows, width)
+
+        def device_block(d: int) -> np.ndarray:
+            if group == 1:
+                t = shards[d]
+                return np.asarray(r0 if t is t0 else lookup.pack_rows(t))[
+                    None]
+            block = np.empty((1, group * nb_rows, width), np.int32)
+            for g in range(group):
+                t = shards[d * group + g]
+                block[0, g * nb_rows:(g + 1) * nb_rows] = (
+                    r0 if t is t0 else lookup.pack_rows(t))
+            return block
         if t0.kind == "kmer":
             nb_bits = t0.nb_bits
         elif t0.kind == "cuckoo":
@@ -214,8 +221,22 @@ class ShardedTable:
                     stash[d, at : at + len(sh), 1] = t.stash_lo
                     stash[d, at : at + len(sh), 2] = t.stash_val
                     at += len(sh)
+        # Assemble the global sharded array device by device; with
+        # replicated extra mesh axes the same block is reused per
+        # replica (indices_map names every device's slice).
+        imap = sharding.addressable_devices_indices_map(global_shape)
+        cache_d, cache_block = -1, None
+        per_dev = []
+        for dev, idx in imap.items():
+            d = idx[0].start or 0
+            if d != cache_d:
+                cache_d, cache_block = d, device_block(d)
+            per_dev.append(jax.device_put(cache_block, dev))
+        cache_block = None
+        rows = jax.make_array_from_single_device_arrays(
+            global_shape, sharding, per_dev)
         return cls(
-            rows=jax.device_put(stacked, sharding),
+            rows=rows,
             max_probes=max(t.max_probes for t in shards),
             n_shards=n,
             kind=t0.kind,
