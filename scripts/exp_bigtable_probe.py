@@ -202,9 +202,29 @@ def main():
             sn = devagg.snap_batch(dtx.snap_valid, agg, default=0)
             return jnp.where(uv.any(-1), sn, 1).astype(jnp.int32).sum()
 
-        # program temps scale with batch; with a 12GB table resident
-        # the 16k-pair program OOMs HBM — walk down to the largest fit
-        for B in (8192, 4096, 2048):
+        # Round 5: the chunked probe (lookup.PROBE_CHUNK_BYTES) bounds
+        # the gathered-row buffer, so 16k-pair programs fit HBM beside
+        # a 12.9 GB resident table (r4 had to halve to 8k). Walk down
+        # only if even that fails.
+        @jax.jit
+        def step_probe(tbl, dna, lengths):
+            Bq, E, l = dna.shape
+            aa, plens = translate.translate6_batch(
+                dna.reshape(Bq * E, l), lengths.reshape(Bq * E), tt)
+            h, l2, wvalid = kmerops.pack_windows_batch(aa, plens, config.k)
+            own = owner_of(h, l2, S)
+            sub = jnp.clip(own - jnp.int32(base), 0, G - 1)
+            tx, f = lookup.probe(tbl, h, l2, valid=wvalid, sub=sub)
+            return tx.sum() + f.sum()
+
+        @jax.jit
+        def step_translate(dna, lengths):
+            Bq, E, l = dna.shape
+            aa, plens = translate.translate6_batch(
+                dna.reshape(Bq * E, l), lengths.reshape(Bq * E), tt)
+            return aa.astype(jnp.int32).sum() + plens.sum()
+
+        for B in (16384, 8192, 4096, 2048):
             try:
                 ddna = jax.device_put(reads[:B])
                 dlen = jax.device_put(np.full((B, 2), L, np.int32))
@@ -214,20 +234,38 @@ def main():
             except Exception as e:  # noqa: BLE001 — OOM: try smaller
                 eprint(f"B={B} failed ({str(e)[:120]})")
                 continue
-            reps = 0
-            t0 = time.perf_counter()
-            while time.perf_counter() - t0 < 6.0:
-                np.asarray(step_full(dtable, dtax, ddna, dlen))
-                reps += 1
-            dt = (time.perf_counter() - t0) / reps
+            stage_ms = {}
+            for nm, fn in (("full", lambda: step_full(
+                                dtable, dtax, ddna, dlen)),
+                           ("translate", lambda: step_translate(
+                                ddna, dlen)),
+                           ("translate+probe", lambda: step_probe(
+                                dtable, ddna, dlen))):
+                eprint(f"compiling stage {nm} (B={B})...")
+                np.asarray(fn())
+                reps = 0
+                t0 = time.perf_counter()
+                while time.perf_counter() - t0 < 6.0:
+                    np.asarray(fn())
+                    reps += 1
+                stage_ms[nm] = round(
+                    (time.perf_counter() - t0) / reps * 1e3, 2)
+            dt = stage_ms["full"] / 1e3
             out["pipeline"] = {
                 "batch": B,
-                "ms_per_batch": round(dt * 1e3, 2),
+                "ms_per_batch": stage_ms["full"],
                 "pairs_per_s": round(B / dt, 1),
+                "stage_ms": stage_ms,
+                "probe_ms": round(stage_ms["translate+probe"]
+                                  - stage_ms["translate"], 2),
+                "agg_tail_ms": round(stage_ms["full"]
+                                     - stage_ms["translate+probe"], 2),
             }
-            eprint(f"pipeline at {gb:.1f} GB bucket16: {out['pipeline']}")
+            eprint(f"pipeline at {gb:.1f} GB: {out['pipeline']}")
             break
     print(json.dumps(out))
+    with open("/tmp/bigtable_r5.json", "w") as f:
+        json.dump(out, f, indent=1)
 
 
 if __name__ == "__main__":

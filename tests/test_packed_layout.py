@@ -181,3 +181,30 @@ def test_chunked_probe_parity_grouped():
     np.testing.assert_array_equal(np.asarray(v_c), np.asarray(v_ref))
     np.testing.assert_array_equal(np.asarray(f_c), np.asarray(f_ref))
     assert np.asarray(f_ref).all()
+
+
+def test_items_bucket_range(tmp_path):
+    """Ranged items() reconstructs exactly the keys whose slots sit in
+    [b0, b1) — matching full items() filtered to those slots — without
+    touching the rest of a packed mmap'd artifact."""
+    packed, values = _toy(6000, seed=31)
+    t = build_kmer_table(packed, values, k=9, layout="bucket64s")
+    path = tmp_path / "idx.npz"
+    t.save(path, packed=True)
+    t2 = load_table(path, mmap=True)
+
+    full_p, full_v = t.items()
+    bk = t.bucket
+    # slot positions of full items (occupied slots, stash excluded)
+    occ = np.nonzero(t.rem != -1)[0]
+    for b0, b1 in ((0, 4), (3, 9), (t.n_buckets - 2, t.n_buckets)):
+        sel = (occ >= b0 * bk) & (occ < b1 * bk)
+        p, v = t2.items(bucket_range=(b0, b1))
+        np.testing.assert_array_equal(p, full_p[: len(occ)][sel])
+        np.testing.assert_array_equal(v, full_v[: len(occ)][sel])
+        # every ranged key probes exactly
+        if len(p):
+            pv, pf = t.probe_host(*__import__(
+                "umgap_tpu.ops.kmers", fromlist=["split_packed"]
+            ).split_packed(p.astype(np.uint64)))
+            assert pf.all() and np.array_equal(pv, v)

@@ -596,12 +596,35 @@ class KmerTable:
             results.append((vals, found))
         return results
 
-    def items(self):
+    def items(self, bucket_range: tuple[int, int] | None = None):
         """(packed_key, value) pairs in slot order, stash last (for
         printindex). The stored distance tag makes reconstruction exact:
-        home bucket = slot bucket - distance."""
+        home bucket = slot bucket - distance.
+
+        ``bucket_range=(b0, b1)`` reconstructs only buckets [b0, b1) —
+        stash omitted — without materializing the full slot arrays (a
+        4.3 GB mmap'd shard yields spot-check keys from a few MB of
+        pages). Note keys displaced INTO the range from bucket b0-1
+        appear, keys displaced out of it don't; for exact-probe spot
+        checks that distinction is irrelevant."""
+        if bucket_range is not None:
+            b0, b1 = bucket_range
+            bk = self.bucket
+            if self.rows_packed is not None:
+                sl = np.asarray(self.rows_packed[b0:b1])
+                rem_s = np.ascontiguousarray(sl[:, :bk]).reshape(-1)
+                val_s = np.ascontiguousarray(sl[:, bk:2 * bk]).reshape(-1)
+            else:
+                rem_s = self.rem[b0 * bk : b1 * bk]
+                val_s = self.values[b0 * bk : b1 * bk]
+            occ = np.nonzero(rem_s != EMPTY)[0]
+            return self._items_from(occ + b0 * bk, rem_s[occ], val_s[occ])
         occ = np.nonzero(self.rem != EMPTY)[0]
-        tag = self.rem[occ].astype(np.uint32)
+        return self._items_from(occ, self.rem[occ], self.values[occ],
+                                with_stash=True)
+
+    def _items_from(self, occ, rem_occ, val_occ, with_stash: bool = False):
+        tag = rem_occ.astype(np.uint32)
         dist = (tag >> np.uint32(30)).astype(np.int64)
         rem = tag & np.uint32((1 << 30) - 1)
         nb_bits = self.nb_bits
@@ -613,8 +636,8 @@ class KmerTable:
         mhi = (rem >> np.uint32(25 - nb_bits)) & MASK20
         hi, lo = unmix_key(mhi, mlo)
         packed = kmers.join_packed(hi.astype(np.int32), lo.astype(np.int32))
-        values = self.values[occ]
-        if len(self.stash_hi):
+        values = val_occ
+        if with_stash and len(self.stash_hi):
             packed = np.concatenate(
                 [packed, kmers.join_packed(self.stash_hi, self.stash_lo)])
             values = np.concatenate([values, self.stash_val])
