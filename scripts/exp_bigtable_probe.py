@@ -225,24 +225,27 @@ def main():
             return aa.astype(jnp.int32).sum() + plens.sum()
 
         for B in (16384, 8192, 4096, 2048):
+            ddna = jax.device_put(reads[:B])
+            dlen = jax.device_put(np.full((B, 2), L, np.int32))
+            stages = (("full", lambda: step_full(
+                           dtable, dtax, ddna, dlen)),
+                      ("translate", lambda: step_translate(
+                           ddna, dlen)),
+                      ("translate+probe", lambda: step_probe(
+                           dtable, ddna, dlen)))
+            # EVERY stage program must compile+fit at this batch before
+            # any is timed — an OOM in a later stage walks down to the
+            # next batch size instead of losing the run
             try:
-                ddna = jax.device_put(reads[:B])
-                dlen = jax.device_put(np.full((B, 2), L, np.int32))
-                eprint(f"compiling full pipeline (B={B}) at "
-                       "production geometry...")
-                np.asarray(step_full(dtable, dtax, ddna, dlen))
+                for nm, fn in stages:
+                    eprint(f"compiling stage {nm} (B={B}) at "
+                           "production geometry...")
+                    np.asarray(fn())
             except Exception as e:  # noqa: BLE001 — OOM: try smaller
                 eprint(f"B={B} failed ({str(e)[:120]})")
                 continue
             stage_ms = {}
-            for nm, fn in (("full", lambda: step_full(
-                                dtable, dtax, ddna, dlen)),
-                           ("translate", lambda: step_translate(
-                                ddna, dlen)),
-                           ("translate+probe", lambda: step_probe(
-                                dtable, ddna, dlen))):
-                eprint(f"compiling stage {nm} (B={B})...")
-                np.asarray(fn())
+            for nm, fn in stages:
                 reps = 0
                 t0 = time.perf_counter()
                 while time.perf_counter() - t0 < 6.0:

@@ -146,8 +146,12 @@ def main():
     v = np.asarray(v)[: len(qk)]
     f = np.asarray(f)[: len(qk)]
     exact = bool(f.all() and np.array_equal(v, qv))
+    counts = [c for _, c in per_shard]
     out["spot_probes"] = {
-        "keys": int(len(qk)), "per_shard": 512, "shards_covered": S,
+        "keys": int(len(qk)),
+        "per_shard_min": int(min(counts)),
+        "per_shard_max": int(max(counts)),
+        "shards_covered": S,
         "all_found": bool(f.all()), "values_exact": exact,
         "probe_s": round(time.perf_counter() - t0, 1),
     }
@@ -165,15 +169,18 @@ def main():
     # real reads: reverse-translate proteins from the build input TSV
     from umgap_tpu.ops import encoding
 
-    # codon map: first codon per AA in the standard table (NCBI 1)
+    # codon map: first codon per AA, derived from the PRESET's own
+    # genetic code so reverse-translation can never drift from what the
+    # analyser translates with
     codon_of = {}
     import itertools
 
+    aas = encoding.get_table(
+        PRESETS["high-sensitivity"].table_number).aas
     bases = "TCAG"
     for i, (b1, b2, b3) in enumerate(
             itertools.product(bases, bases, bases)):
-        aa = "FFLLSSSSYY**CC*WLLLLPPPPHHQQRRRRIIIMTTTTNNKKSSRRVVVVAAAADDEEGGGG"[i]
-        codon_of.setdefault(aa, b1 + b2 + b3)
+        codon_of.setdefault(aas[i], b1 + b2 + b3)
 
     reads = []
     with open(manifest["tsv"]) as fh:

@@ -1217,6 +1217,19 @@ def cmd_analyse(args, stdin, stdout):
     if sharded:
         import jax
 
+        # honor JAX_PLATFORMS even where site hooks force-register
+        # another backend (e.g. `JAX_PLATFORMS=cpu umgap-tpu analyse
+        # --mesh 8` with xla_force_host_platform_device_count for an
+        # emulated mesh); a no-op when the env var already took effect,
+        # and not an error once a backend is live — the device-count
+        # check below reports the real geometry either way
+        plat = os.environ.get("JAX_PLATFORMS")
+        if plat:
+            try:
+                jax.config.update("jax_platforms", plat)
+            except Exception:
+                pass
+
         from .parallel import make_mesh
 
         n_dev = (len(jax.devices()) if args.mesh == "auto"

@@ -44,6 +44,11 @@ import numpy as np
 # remains for memory-lean builds; bucket8s (the cache-regime layout)
 # needs its stash to absorb all bucket overflow, capping realized load
 # around 0.1 at 10M+ keys/shard.  --layout selects per build.
+class ShardArtifactError(ValueError):
+    """A shard artifact is unreadable (truncated/corrupt) — ValueError
+    so the CLI prints the remedy instead of a traceback."""
+
+
 LOAD_FACTORS = {"bucket64s": 0.50, "bucket16": 0.60, "bucket8s": 0.60}
 BUCKETS = {"bucket64s": 64, "bucket16": 16, "bucket8s": 8}
 PROBE_LIMITS = {"bucket64s": 0, "bucket16": 1, "bucket8s": 0}
@@ -542,7 +547,7 @@ def load_shards(workdir: str, mmap: bool = False):
         try:
             shards.append(load_table(path, mmap=mmap))
         except Exception as e:
-            raise RuntimeError(
+            raise ShardArtifactError(
                 f"shard artifact unreadable (truncated or corrupt): "
                 f"{path}: {e}; delete it and its .done marker, then "
                 f"re-run buildindex-dist --workdir {workdir}") from e
@@ -556,16 +561,15 @@ def repack_shards(workdir: str, log=lambda s: None) -> int:
     built before the packed format existed so serving cold starts become
     pure disk->HBM transfer (no ~100 s host-side row repack).
     Returns the number of shards rewritten."""
-    from .table import load_table
-
-    with open(os.path.join(workdir, "manifest.json")) as f:
-        manifest = json.load(f)
+    # load_shards (not a bare load_table loop) so missing/truncated
+    # artifacts fail with the same named-file + resume remedy serving
+    # gives
+    shards = load_shards(workdir, mmap=True)
     n = 0
-    for s in range(manifest["n_shards"]):
-        path = os.path.join(workdir, "shards", f"shard_{s:03d}.npz")
-        t = load_table(path, mmap=True)
+    for s, t in enumerate(shards):
         if t.kind != "kmer" or t.rows_packed is not None:
             continue
+        path = os.path.join(workdir, "shards", f"shard_{s:03d}.npz")
         tmp = path + ".repack.npz"
         t.save(tmp, packed=True)
         os.replace(tmp, path)
