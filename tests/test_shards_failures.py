@@ -132,14 +132,29 @@ def test_capacity_mismatch(workdir, tmp_path, capsys):
     assert "geometry mismatch" in err and "shard 1" in err
 
 
-def test_hbm_guard_refusal(workdir, monkeypatch, capsys):
-    """UMGAP_HBM_BYTES drives the capacity pre-check: refusal includes
-    sizing advice instead of an OOM mid-transfer."""
+def test_hbm_guard_refusal_impossible(workdir, monkeypatch, capsys):
+    """UMGAP_HBM_BYTES drives the capacity pre-check: when even one
+    shard per device exceeds the limit, the advice is to rebuild with
+    more shards (a bigger mesh cannot help)."""
     monkeypatch.setenv("UMGAP_HBM_BYTES", "100000")
     rc, _ = _run(workdir["work"], workdir["reads"], workdir["taxons"])
     assert rc == 1
     err = capsys.readouterr().err
-    assert "serve this artifact on a mesh of" in err
+    assert "rebuild with more shards" in err
+
+
+def test_hbm_guard_divisor_advice(workdir, monkeypatch, capsys):
+    """The mesh-size advice must be a divisor of n_shards (whole shards
+    per device): a raw need of 3 on an 8-shard artifact rounds to 4."""
+    cap = workdir["capacity"]
+    # per-device rows on the requested 2-device mesh = 4 shards * cap*8
+    # bytes > 0.95*limit, and total/(0.95*limit) lands in (2, 3]
+    monkeypatch.setenv("UMGAP_HBM_BYTES", str(int(23.23 * cap)))
+    rc, _ = _run(workdir["work"], workdir["reads"], workdir["taxons"],
+                 extra=("--mesh", "2"))
+    assert rc == 1
+    err = capsys.readouterr().err
+    assert "serve this artifact on a mesh of >= 4 devices" in err
 
 
 def test_no_manifest(workdir, tmp_path, capsys):

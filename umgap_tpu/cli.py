@@ -1311,12 +1311,22 @@ def cmd_analyse(args, stdin, stdout):
                     limit = gb * 10 ** 9
                     break
         if limit and per_dev_bytes > 0.95 * limit:
-            need = -(-manifest["n_shards"] * manifest.get("capacity", 0)
+            S = manifest["n_shards"]
+            need = -(-S * manifest.get("capacity", 0)
                      * 8 // int(0.95 * limit))
+            # the advice must be actionable: a valid mesh holds whole
+            # shards, so round up to the next divisor of n_shards
+            feasible = [d for d in range(need, S + 1) if S % d == 0]
+            if feasible:
+                advice = (f"serve this artifact on a mesh of "
+                          f">= {feasible[0]} devices")
+            else:
+                advice = (f"even one shard per device exceeds it — "
+                          f"rebuild with more shards (>= {need}) via "
+                          f"buildindex-dist --shards")
             raise CliError(
                 f"each device would hold {per_dev_bytes / 1e9:.1f} GB of "
-                f"shard rows but has ~{limit / 1e9:.1f} GB; serve this "
-                f"artifact on a mesh of >= {need} devices")
+                f"shard rows but has ~{limit / 1e9:.1f} GB; {advice}")
         # mmap: pages stream disk -> packed rows -> HBM, so cold-start
         # is bounded by the transfer, not an upfront artifact read
         try:
