@@ -193,7 +193,7 @@ def main():
                 reads.append(dna[:150])
     eprint(f"{len(reads)} reads derived from the build input")
 
-    B = 64
+    B = 8 * n_dev  # batches split evenly across mesh devices
     an = make_sharded_stream_analyser(
         tax, stable, PRESETS["high-sensitivity"], mesh,
         batch_size=B, read_length=160, ends=1)
