@@ -217,3 +217,53 @@ def test_printindex_over_shards_dir(tmp_path):
     expect = [f"{kmerops.unpack_kmer(int(k), 9)}\t{int(v)}"
               for k, v in zip(keys[order], vals[order])]
     assert lines == expect  # packed-key order, same as the single-table path
+
+
+@pytest.mark.multiprocess
+def test_distbuild_bucket64d_reclaim_input(tmp_path):
+    """Dense-layout build through the TSV path with --reclaim-input:
+    every input k-mer resolves exactly through its owner shard, shards
+    share the bucket64d geometry, and the consumed TSV's disk blocks
+    are progressively hole-punched (file size/offsets unchanged, so the
+    manifest's chunk ranges stay resume-valid)."""
+    taxfile = tmp_path / "taxons.tsv"
+    distbuild.write_synthetic_taxonomy(str(taxfile), 2000, seed=7)
+    tsv = tmp_path / "seqs.tsv"
+    rng = np.random.default_rng(21)
+    aa = np.frombuffer(b"ACDEFGHIKLMNPQRSTVWY", dtype=np.uint8)
+    with open(tsv, "wb") as f:
+        for _ in range(19_000):       # ~6 MB -> 2-3 chunks at 3 MB
+            prot = aa[rng.integers(0, 20, size=300)].tobytes()
+            f.write(b"%d\t%s\n" % (rng.integers(2, 2000), prot))
+    size = os.path.getsize(tsv)
+    blocks_before = os.stat(tsv).st_blocks
+    wd = tmp_path / "job"
+    manifest = distbuild.drive(
+        str(wd), str(tsv), str(taxfile), n_shards=2, workers=2,
+        chunk_bytes=3 << 20, layout="bucket64d", reclaim=True,
+        reclaim_input=True)
+    assert manifest["n_keys"] > 5_000_000
+    # punch freed >= 1 MB per full chunk; size and ranges unchanged
+    assert os.path.getsize(tsv) == size
+    assert os.stat(tsv).st_blocks <= blocks_before - (1 << 20) // 512
+
+    shards = distbuild.load_shards(str(wd))
+    assert all(t.bucket == 64 for t in shards)
+    assert len({t.capacity for t in shards}) == 1
+
+    from umgap_tpu.io import native
+    from umgap_tpu.parallel.sharded import owner_of
+
+    # the punched TSV is gone — regenerate the identical rows
+    rng = np.random.default_rng(21)
+    chunks = []
+    for _ in range(19_000):
+        prot = aa[rng.integers(0, 20, size=300)].tobytes()
+        chunks.append(b"%d\t%s\n" % (rng.integers(2, 2000), prot))
+    packed, _tids = native.split_kmers_tsv(b"".join(chunks), k=9)
+    hi, lo = kmerops.split_packed(packed)
+    owner = owner_of(hi, lo, 2)
+    for s, t in enumerate(shards):
+        sel = owner == s
+        _v, f = t.probe_host(hi[sel], lo[sel])
+        assert f.all()

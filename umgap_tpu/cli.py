@@ -568,7 +568,8 @@ def cmd_buildindex_dist(args, stdin, stdout):
         workers=args.workers, k=args.k,
         synthetic_rows=(int(float(args.synthetic))
                         if args.synthetic is not None else None),
-        seed=args.seed, layout=args.layout, reclaim=args.reclaim)
+        seed=args.seed, layout=args.layout, reclaim=args.reclaim,
+        reclaim_input=args.reclaim_input)
     stdout.write(json.dumps({
         "n_keys": manifest["n_keys"],
         "n_shards": manifest["n_shards"],
@@ -772,10 +773,15 @@ def build_parser() -> argparse.ArgumentParser:
                     help="generate N synthetic input rows instead of "
                          "--tsv (benchmark / scale-test mode)")
     sp.add_argument("--layout", default="bucket64s",
-                    choices=["bucket64s", "bucket16", "bucket8s"],
+                    choices=["bucket64s", "bucket64d", "bucket16",
+                             "bucket8s"],
                     help="shard table geometry: bucket64s (default) = "
                          "ONE full-tile 512B row gather per query, the "
                          "measured at-scale optimum (~16-32 B/key); "
+                         "bucket64d = same rows conveyor-placed at up "
+                         "to ~0.9 load (~9-10 B/key, denser than the "
+                         "reference's FST) probed with one 2-row "
+                         "windowed gather; "
                          "bucket16 = <=2 gathers at up to 0.9 load "
                          "(memory-lean); bucket8s = the cache-regime "
                          "layout for small chip-resident tables")
@@ -786,6 +792,14 @@ def build_parser() -> argparse.ArgumentParser:
                          "checkpointed (spills after join, joined "
                          "arrays after table build) — peak disk drops "
                          "from ~3.5x to ~1.6x the final artifact size")
+    sp.add_argument("--reclaim-input", action="store_true",
+                    help="treat the input --tsv as scratch: punch holes "
+                         "in each consumed chunk's byte range as it is "
+                         "partitioned (the file's CONTENT is destroyed; "
+                         "offsets stay valid for resume).  For "
+                         "regenerable inputs only — at 10^10-row scale "
+                         "peak disk is the TSV plus all spills, and "
+                         "this removes the TSV term")
     sp.add_argument("--repack", action="store_true",
                     help="relayout an EXISTING workdir's shards into "
                          "the packed device-wire format in place "

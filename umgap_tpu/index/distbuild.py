@@ -27,6 +27,7 @@ remaining tasks).
 from __future__ import annotations
 
 import glob
+import ctypes
 import json
 import os
 import subprocess
@@ -40,18 +41,27 @@ import numpy as np
 # full-tile (512 B) row gather — measured 4x the probe rate of 2-round
 # bucket16 at multi-GB tables (PERF.md round 4) at the same 8 B/slot.
 # Sized at load <= 0.5 so the single round's overflow stays within the
-# stash.  bucket16 (conveyor-placed, <= 2 gathers, load <= 0.9 ceiling)
-# remains for memory-lean builds; bucket8s (the cache-regime layout)
-# needs its stash to absorb all bucket overflow, capping realized load
-# around 0.1 at 10M+ keys/shard.  --layout selects per build.
+# stash.  bucket64d is the DENSE variant of the same row shape:
+# conveyor placement (distance <= 1, tags 0/1) lifts the load ceiling
+# to ~0.9, fitting ~1.76x the keys in the same artifact bytes
+# (~9.2 B/key realized vs 16.3 at 0.49 load — denser than the
+# reference's ~10 B/key FST, README.md:54-57) at a 2-round probe;
+# displaced keys sit in the NEXT bucket, so the two rows are adjacent
+# and the device probe fetches both with one 2-row windowed gather
+# (ops/lookup.py).  bucket16 (conveyor-placed, <= 2 gathers, load
+# <= 0.9 ceiling) remains for memory-lean builds; bucket8s (the
+# cache-regime layout) needs its stash to absorb all bucket overflow,
+# capping realized load around 0.1 at 10M+ keys/shard.  --layout
+# selects per build.
 class ShardArtifactError(ValueError):
     """A shard artifact is unreadable (truncated/corrupt) — ValueError
     so the CLI prints the remedy instead of a traceback."""
 
 
-LOAD_FACTORS = {"bucket64s": 0.50, "bucket16": 0.60, "bucket8s": 0.60}
-BUCKETS = {"bucket64s": 64, "bucket16": 16, "bucket8s": 8}
-PROBE_LIMITS = {"bucket64s": 0, "bucket16": 1, "bucket8s": 0}
+LOAD_FACTORS = {"bucket64s": 0.50, "bucket64d": 0.88,
+                "bucket16": 0.60, "bucket8s": 0.60}
+BUCKETS = {"bucket64s": 64, "bucket64d": 64, "bucket16": 16, "bucket8s": 8}
+PROBE_LIMITS = {"bucket64s": 0, "bucket64d": 1, "bucket16": 1, "bucket8s": 0}
 LOAD_FACTOR = 0.60
 LAYOUT = "bucket64s"
 
@@ -149,6 +159,35 @@ def write_synthetic_taxonomy(path: str, n_tax: int, seed: int) -> None:
 # Worker tasks
 # ---------------------------------------------------------------------- #
 
+def _punch_hole(path: str, start: int, length: int) -> bool:
+    """Best-effort FALLOC_FL_PUNCH_HOLE: frees the byte range's blocks
+    while keeping file size/offsets (so the manifest's chunk ranges stay
+    valid for resume).  Returns False where unsupported (non-Linux, or a
+    filesystem without hole support) — reclaim is then simply skipped."""
+    if length <= 0 or not hasattr(ctypes, "CDLL"):
+        return False
+    try:
+        libc = ctypes.CDLL(None, use_errno=True)
+        fd = os.open(path, os.O_RDWR)
+        try:
+            # PUNCH_HOLE (0x2) requires KEEP_SIZE (0x1)
+            rc = libc.fallocate(fd, ctypes.c_int(0x3),
+                                ctypes.c_longlong(start),
+                                ctypes.c_longlong(length))
+        finally:
+            os.close(fd)
+        return rc == 0
+    except (OSError, AttributeError):
+        return False
+
+
+# Punch guard: a chunk's parse reads up to one line past each manifest
+# boundary (read_tsv_chunk newline alignment), so reclaiming a finished
+# chunk must leave its edge bytes for the neighbours.  1 MB dwarfs any
+# plausible line length.
+_PUNCH_MARGIN = 1 << 20
+
+
 def task_partition(workdir: str, manifest: dict, chunk: int) -> None:
     from ..parallel.sharded import owner_of
     from ..ops import kmers as kmerops
@@ -182,6 +221,13 @@ def task_partition(workdir: str, manifest: dict, chunk: int) -> None:
         _save_atomic(os.path.join(part, f"c{chunk:05d}_s{s:03d}.npz"),
                      keys=packed[a:b], tids=tids[a:b])
     _mark(stamp)
+    if manifest.get("reclaim_input") and manifest["input"] == "tsv":
+        # the input is declared scratch: free this chunk's bytes so the
+        # TSV's disk shrinks as partitioning advances (peak disk at
+        # 10^10-row scale is TSV + all spills, right here)
+        start, end = manifest["chunks"][chunk]
+        _punch_hole(manifest["tsv"], start + _PUNCH_MARGIN,
+                    (end - _PUNCH_MARGIN) - (start + _PUNCH_MARGIN))
 
 
 def task_join(workdir: str, manifest: dict, shard: int,
@@ -432,7 +478,7 @@ def drive(workdir: str, tsv: Optional[str], taxons: Optional[str],
           synthetic_rows: Optional[int] = None, seed: int = 7,
           n_tax: int = 200_000, chunk_bytes: int = 256 << 20,
           rows_per_chunk: int = 20_000_000, layout: str = LAYOUT,
-          reclaim: bool = False) -> dict:
+          reclaim: bool = False, reclaim_input: bool = False) -> dict:
     """Run (or resume) the whole job; returns the manifest with timing
     and completion state.  Idempotent: finished tasks are skipped via
     their ``.done`` markers."""
@@ -464,7 +510,7 @@ def drive(workdir: str, tsv: Optional[str], taxons: Optional[str],
                             chunks=chunks, n_chunks=len(chunks),
                             taxons=os.path.abspath(taxons),
                             n_shards=n_shards, k=k, layout=layout,
-                            reclaim=reclaim)
+                            reclaim=reclaim, reclaim_input=reclaim_input)
         with open(man_path + ".tmp", "w") as f:
             json.dump(manifest, f)
         os.replace(man_path + ".tmp", man_path)

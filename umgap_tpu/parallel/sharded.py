@@ -170,15 +170,18 @@ class ShardedTable:
         b0 = getattr(t0, "bucket", None)
         for i, t in enumerate(shards):
             if (t.capacity != t0.capacity or t.kind != t0.kind
-                    or getattr(t, "bucket", None) != b0):
+                    or getattr(t, "bucket", None) != b0
+                    or t.max_probes != t0.max_probes):
                 raise ValueError(
                     f"shard {i} geometry mismatch: capacity="
                     f"{t.capacity} kind={t.kind} "
-                    f"bucket={getattr(t, 'bucket', None)} vs shard 0's "
+                    f"bucket={getattr(t, 'bucket', None)} "
+                    f"max_probes={t.max_probes} vs shard 0's "
                     f"capacity={t0.capacity} kind={t0.kind} bucket={b0} "
+                    f"max_probes={t0.max_probes} "
                     "— shards of one serving table must share one "
-                    "layout (mixed bucket16/bucket64s artifacts in one "
-                    "workdir?)")
+                    "layout (mixed bucket16/bucket64s/bucket64d "
+                    "artifacts in one workdir?)")
         # Memory-lean assembly: one PER-DEVICE block at a time from the
         # (possibly mmap'd, possibly pre-packed) shard rows, put to its
         # device, then freed — peak host memory is one device's slice,
