@@ -780,8 +780,8 @@ def build_parser() -> argparse.ArgumentParser:
                          "measured at-scale optimum (~16-32 B/key); "
                          "bucket64d = same rows conveyor-placed at up "
                          "to ~0.9 load (~9-10 B/key, denser than the "
-                         "reference's FST) probed with one 2-row "
-                         "windowed gather; "
+                         "reference's FST) at a 2-row probe (2x the "
+                         "bucket64s per-query gather cost); "
                          "bucket16 = <=2 gathers at up to 0.9 load "
                          "(memory-lean); bucket8s = the cache-regime "
                          "layout for small chip-resident tables")

@@ -45,10 +45,12 @@ import numpy as np
 # conveyor placement (distance <= 1, tags 0/1) lifts the load ceiling
 # to ~0.9, fitting ~1.76x the keys in the same artifact bytes
 # (~9.2 B/key realized vs 16.3 at 0.49 load — denser than the
-# reference's ~10 B/key FST, README.md:54-57) at a 2-round probe;
-# displaced keys sit in the NEXT bucket, so the two rows are adjacent
-# and the device probe fetches both with one 2-row windowed gather
-# (ops/lookup.py).  bucket16 (conveyor-placed, <= 2 gathers, load
+# reference's ~10 B/key FST, README.md:54-57) at a 2-round probe —
+# a measured 2x the bucket64s per-query gather cost (22 vs 11 ns at
+# 4.3 GB; a (2,W)-slice windowed gather was measured 76x WORSE than
+# two takes, scripts/exp_window_gather.py — XLA's emitter only hits
+# the descriptor floor on single-row slices).  bucket16
+# (conveyor-placed, <= 2 gathers, load
 # <= 0.9 ceiling) remains for memory-lean builds; bucket8s (the
 # cache-regime layout) needs its stash to absorb all bucket overflow,
 # capping realized load around 0.1 at 10M+ keys/shard.  --layout
