@@ -267,3 +267,39 @@ def test_distbuild_bucket64d_reclaim_input(tmp_path):
         sel = owner == s
         _v, f = t.probe_host(hi[sel], lo[sel])
         assert f.all()
+
+
+@pytest.mark.multiprocess
+def test_densify_relayout_in_place(tmp_path):
+    """--densify converts a bucket64s workdir to the dense geometry in
+    place: capacity shrinks, every key still probes to its exact value,
+    the manifest records the new layout, and a second run is a no-op."""
+    wd = tmp_path / "job"
+    r = _drive(wd, "--synthetic", "5e6", "--shards", "2",
+               "--workers", "2", "--layout", "bucket64s")
+    assert r.returncode == 0, r.stderr
+    before = distbuild.load_shards(str(wd))
+    truth = [t.items() for t in before]
+    cap_before = before[0].capacity
+    del before
+
+    r = _drive(wd, "--densify")
+    assert r.returncode == 0, r.stderr
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["densified"] == 2
+    manifest = json.load(open(wd / "manifest.json"))
+    assert manifest["layout"] == "bucket64d"
+    assert manifest["capacity"] < cap_before
+
+    after = distbuild.load_shards(str(wd))
+    assert all(t.capacity == manifest["capacity"] for t in after)
+    for t, (keys, vals) in zip(after, truth):
+        assert t.n == len(keys)
+        hi, lo = kmerops.split_packed(keys.astype(np.uint64))
+        v, f = t.probe_host(hi, lo)
+        assert f.all()
+        assert (v == vals).all()
+
+    r = _drive(wd, "--densify")
+    assert r.returncode == 0, r.stderr
+    assert json.loads(r.stdout.strip().splitlines()[-1])["densified"] == 0
