@@ -250,6 +250,12 @@ def test_distbuild_bucket64d_reclaim_input(tmp_path):
     shards = distbuild.load_shards(str(wd))
     assert all(t.bucket == 64 for t in shards)
     assert len({t.capacity for t in shards}) == 1
+    # probe depth is the LAYOUT's declared depth on every shard, not
+    # the realized displacement depth: at mid load one shard can place
+    # all keys home (realized 0) while a sibling displaces (realized 1)
+    # — from_shards would refuse that as a layout mix
+    assert all(t.max_probes == distbuild.PROBE_LIMITS["bucket64d"]
+               for t in shards)
 
     from umgap_tpu.io import native
     from umgap_tpu.parallel.sharded import owner_of
@@ -293,6 +299,8 @@ def test_densify_relayout_in_place(tmp_path):
 
     after = distbuild.load_shards(str(wd))
     assert all(t.capacity == manifest["capacity"] for t in after)
+    assert all(t.max_probes == distbuild.PROBE_LIMITS["bucket64d"]
+               for t in after)
     for t, (keys, vals) in zip(after, truth):
         assert t.n == len(keys)
         hi, lo = kmerops.split_packed(keys.astype(np.uint64))

@@ -407,6 +407,15 @@ def task_build(workdir: str, manifest: dict, shard: int) -> None:
                             k=manifest["k"], bucket=bucket,
                             max_probe_limit=probes, stash_cap=256,
                             capacity=cap)
+    # Uniform probe depth by construction: ``build`` records the
+    # REALIZED displacement depth, so at mid load one shard of a
+    # conveyor layout can realize 0 while its siblings realize 1 —
+    # ShardedTable.from_shards would then refuse the build's own
+    # artifact as a layout mix.  Stamp the layout's declared depth
+    # instead (probing an undisplaced table one round deeper is exact:
+    # round-2 comparisons expect distance-1 tags, which an undisplaced
+    # table never stores).
+    table.max_probes = max(table.max_probes, probes)
     # packed wire layout, uncompressed: serving mmaps these and feeds
     # device_put directly — cold start is pure disk->HBM transfer (no
     # zlib, no host-side row repacking)
@@ -662,6 +671,9 @@ def densify_shards(workdir: str, log=lambda s: None) -> int:
                 f"shard {s} will not densify at capacity {cap} ({e}); "
                 "its realized load exceeds the conveyor ceiling — "
                 "rebuild with more shards instead") from e
+        # uniform probe depth by construction (see task_build)
+        dense.max_probes = max(dense.max_probes,
+                               PROBE_LIMITS["bucket64d"])
         path = os.path.join(workdir, "shards", f"shard_{s:03d}.npz")
         tmp = path + ".densify.npz"
         dense.save(tmp, packed=True)
