@@ -80,10 +80,14 @@ def test_analyse_mesh_one_device(indexes):
     assert one == single
 
 
-def test_analyse_shards_dir_grouped(tmp_path, indexes):
+@pytest.mark.parametrize("layout", ["bucket64s", "bucket64d"])
+def test_analyse_shards_dir_grouped(tmp_path, indexes, layout):
     """`analyse --shards <buildindex-dist workdir>`: a 16-shard build
     served on the 8-device mesh (2 sub-shards per device), byte-equal
-    to serving the merged single-table index."""
+    to serving the merged single-table index.  Parametrized over the
+    sparse single-gather layout AND the dense 2-round bucket64d one —
+    grouped sub-shard addressing must compose with displacement
+    probing (production artifacts serve this way)."""
     from umgap_tpu.index import distbuild
     from umgap_tpu.index.table import KmerTable
     from umgap_tpu.ops import encoding, kmers as kmerops, translate
@@ -108,7 +112,7 @@ def test_analyse_shards_dir_grouped(tmp_path, indexes):
             f.write(f"{v}\t{kmerops.unpack_kmer(int(p), 9)}\n")
     taxons = os.path.join(DATA, "taxonomy.tsv")
     distbuild.drive(str(tmp_path / "work"), str(tsv), taxons,
-                    n_shards=16, workers=2, k=9)
+                    n_shards=16, workers=2, k=9, layout=layout)
     with open(tmp_path / "work" / "manifest.json") as f:
         manifest = json.load(f)
     assert manifest["n_shards"] == 16
