@@ -94,7 +94,9 @@ def main():
         "read_assemble_s": round(t_read, 2),
         "device_put_s": round(t_put, 2), "table_gb": round(gb, 2),
         "put_gbps": round(gb / t_put, 2),
-        "keys_per_shard": manifest["n_keys"] // S,
+        # n_keys lands in the manifest when the whole drive completes;
+        # a mid-build run (measuring finished shards early) lacks it
+        "keys_per_shard": (manifest.get("n_keys") or 0) // S,
         "stash_slots": int(stash.shape[0]),
         "max_probes": max_probes,
     }
